@@ -1,0 +1,195 @@
+"""Optimizer state pytrees.
+
+The reference keeps optimizer state in C structs of raw pointers mirrored by
+language-side "holder" objects (``stochqn/_optimizers.py:791-879``,
+``include/stochqn.h:86-151``).  Here the whole state is a single immutable JAX
+pytree: device-resident, trivially checkpointable (orbax / pickle of numpy
+leaves), shardable along the parameter axis, and usable as a ``lax.scan``
+carry.  The C coroutine's ``section`` resume-point field becomes an int32 leaf
+driving a ``lax.switch``.
+
+Unlike the reference there are no ``s_bak`` / ``y_bak`` backup buffers
+(``src/stochqn.c:589-604``): rejected correction pairs are simply never
+committed, which also sidesteps a latent reference bug where
+``backup_corr_pair`` copies in the wrong direction and a rejected pair can
+corrupt the oldest stored pair when the ring is full.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class BFGSMemory:
+    """Ring buffer of (s, y) correction pairs, chronological via head/count.
+
+    Mirrors ``bfgs_mem`` (``include/stochqn.h:86-99``) minus the backup
+    buffers; ``head`` is the next write slot (C ``mem_st_ix``), ``count`` the
+    number of live pairs (C ``mem_used``).  The earliest live pair sits at
+    ``(head - count) mod mem_size``.
+
+    ``s_pending`` holds the candidate ``s`` vector between the moment it is
+    computed and the moment the matching ``y`` arrives and the pair passes the
+    curvature test.  The reference writes the candidate straight into the ring
+    slot (``src/stochqn.c:861-870,1005-1007``); keeping it separate makes
+    accept/reject a pure functional choice.
+    """
+
+    s: jax.Array          # [mem_size, n]
+    y: jax.Array          # [mem_size, n]
+    s_pending: jax.Array  # [n]
+    head: jax.Array       # int32 scalar: next slot to write
+    count: jax.Array      # int32 scalar: number of live pairs
+
+    @classmethod
+    def create(cls, mem_size: int, n: int, dtype=jnp.float32) -> "BFGSMemory":
+        return cls(
+            s=jnp.zeros((mem_size, n), dtype=dtype),
+            y=jnp.zeros((mem_size, n), dtype=dtype),
+            s_pending=jnp.zeros((n,), dtype=dtype),
+            head=jnp.zeros((), dtype=jnp.int32),
+            count=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    @property
+    def mem_size(self) -> int:
+        return self.s.shape[0]
+
+    def flush(self) -> "BFGSMemory":
+        """Logically empty the memory (data stays, indices reset) —
+        ``flush_bfgs_mem``, ``src/stochqn.c:554-558``."""
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return self.replace(head=zero, count=zero)
+
+
+@struct.dataclass
+class FisherMemory:
+    """Ring buffer of recent minibatch gradients for adaQN's empirical Fisher.
+
+    Mirrors ``fisher_mem`` (``include/stochqn.h:101-107``).  Rows are only
+    ever consumed through the symmetric product ``F^T (F s) / count`` so
+    chronological order is irrelevant; only occupancy matters.
+    """
+
+    f: jax.Array      # [fisher_size, n]
+    head: jax.Array   # int32
+    count: jax.Array  # int32
+
+    @classmethod
+    def create(cls, fisher_size: int, n: int, dtype=jnp.float32) -> "FisherMemory":
+        return cls(
+            f=jnp.zeros((fisher_size, n), dtype=dtype),
+            head=jnp.zeros((), dtype=jnp.int32),
+            count=jnp.zeros((), dtype=jnp.int32),
+        )
+
+    def flush(self) -> "FisherMemory":
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return self.replace(head=zero, count=zero)
+
+    def append(self, grad: jax.Array) -> "FisherMemory":
+        """``add_to_fisher_mem`` (``src/stochqn.c:581-587``)."""
+        size = self.f.shape[0]
+        f = jax.lax.dynamic_update_index_in_dim(self.f, grad, self.head, axis=0)
+        return self.replace(
+            f=f,
+            head=(self.head + 1) % size,
+            count=jnp.minimum(self.count + 1, size),
+        )
+
+
+@struct.dataclass
+class OLBFGSState:
+    """Full oLBFGS optimizer state (``workspace_oLBFGS``,
+    ``include/stochqn.h:109-120``)."""
+
+    x: jax.Array          # [n] current iterate
+    mem: BFGSMemory
+    grad_prev: jax.Array  # [n]
+    niter: jax.Array      # int32
+    section: jax.Array    # int32 coroutine resume point (0, 1, 2)
+
+    @classmethod
+    def create(cls, x0: jax.Array, mem_size: int) -> "OLBFGSState":
+        x0 = jnp.asarray(x0)
+        n = x0.shape[0]
+        return cls(
+            x=x0,
+            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            grad_prev=jnp.zeros((n,), dtype=x0.dtype),
+            niter=jnp.zeros((), dtype=jnp.int32),
+            section=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+@struct.dataclass
+class SQNState:
+    """Full SQN optimizer state (``workspace_SQN``,
+    ``include/stochqn.h:122-133``).
+
+    ``x_sum`` doubles as ``x_avg`` after division — the reference aliases the
+    two with a macro (``src/stochqn.c:134``); we keep the single-array
+    semantics so trajectories match exactly.
+    """
+
+    x: jax.Array
+    mem: BFGSMemory
+    grad_prev: jax.Array   # [n] big-batch gradient at previous average
+    x_sum: jax.Array       # [n] sum (or, post-division, average) of iterates
+    x_avg_prev: jax.Array  # [n]
+    niter: jax.Array       # int32
+    section: jax.Array     # int32 (0..4)
+
+    @classmethod
+    def create(cls, x0: jax.Array, mem_size: int) -> "SQNState":
+        x0 = jnp.asarray(x0)
+        n = x0.shape[0]
+        zeros = jnp.zeros((n,), dtype=x0.dtype)
+        return cls(
+            x=x0,
+            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            grad_prev=zeros,
+            x_sum=zeros,
+            x_avg_prev=zeros,
+            niter=jnp.zeros((), dtype=jnp.int32),
+            section=jnp.zeros((), dtype=jnp.int32),
+        )
+
+
+@struct.dataclass
+class AdaQNState:
+    """Full adaQN optimizer state (``workspace_adaQN``,
+    ``include/stochqn.h:135-151``)."""
+
+    x: jax.Array
+    mem: BFGSMemory
+    fisher: FisherMemory   # size 0 rows when use_grad_diff
+    grad_prev: jax.Array   # [n] (used only when use_grad_diff)
+    x_sum: jax.Array
+    x_avg_prev: jax.Array
+    grad_sum_sq: jax.Array  # [n] AdaGrad / RMSProp accumulator
+    f_prev: jax.Array       # scalar: accepted function value at prev average
+    niter: jax.Array        # int32
+    section: jax.Array      # int32 (0..5)
+
+    @classmethod
+    def create(cls, x0: jax.Array, mem_size: int, fisher_size: int) -> "AdaQNState":
+        x0 = jnp.asarray(x0)
+        n = x0.shape[0]
+        zeros = jnp.zeros((n,), dtype=x0.dtype)
+        return cls(
+            x=x0,
+            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            fisher=FisherMemory.create(max(fisher_size, 1), n, x0.dtype),
+            grad_prev=zeros,
+            x_sum=zeros,
+            x_avg_prev=zeros,
+            grad_sum_sq=zeros,
+            f_prev=jnp.zeros((), dtype=x0.dtype),
+            niter=jnp.zeros((), dtype=jnp.int32),
+            section=jnp.zeros((), dtype=jnp.int32),
+        )

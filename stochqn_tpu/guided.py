@@ -1,0 +1,434 @@
+"""Guided ("scikit-learn-like") optimizer API.
+
+Re-implementation of the reference's driver layer
+(``stochqn/_optimizers.py:31-785``): classes ``oLBFGS`` / ``SQN`` / ``adaQN``
+own the epoch/batch loop, dispatch the free-mode request protocol against
+user-supplied gradient / objective / Hessian-vector callables, and provide
+``fit`` / ``partial_fit`` / ``predict``.
+
+Semantics preserved from the reference:
+  * epoch shuffling via ``np.random.seed(random_state + epoch)`` +
+    ``argsort(random(n))`` (``stochqn/_optimizers.py:251-256``),
+  * validation split / early stopping on ``tol``
+    (``stochqn/_optimizers.py:237-244,271-281``),
+  * big-batch assembly: in ``fit`` a contiguous slice covering the last
+    ``upd_freq`` batches (``stochqn/_optimizers.py:55-79``); in
+    ``partial_fit`` the vstack of every batch stored since the last big-batch
+    request (``stochqn/_optimizers.py:81-112``),
+  * step-size schedules ``step0 / sqrt(k + 1)`` ("auto") or constant, keyed
+    on the epoch in ``fit`` and on the iteration number in ``partial_fit``
+    (``stochqn/_optimizers.py:24-28,365-368``).
+
+The user callables here may be plain numpy/scipy functions (reference-
+compatible) or JAX functions; for fully on-device training see
+:mod:`stochqn_tpu.fused`.
+"""
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Optional
+
+import numpy as np
+
+try:
+    from scipy.sparse import issparse, vstack as sp_vstack
+except Exception:  # pragma: no cover - scipy is baked into the image
+    def issparse(_x):
+        return False
+
+    sp_vstack = None
+
+from stochqn_tpu.free import SQN_free, adaQN_free, oLBFGS_free
+
+
+def step_size_sqrt(initial_step_size: float, k: int) -> float:
+    return initial_step_size / np.sqrt(k + 1)
+
+
+def step_size_const(initial_step_size: float, k: int) -> float:
+    return initial_step_size
+
+
+def _resolve_schedule(decr_step_size):
+    if decr_step_size == "auto":
+        return step_size_sqrt
+    if decr_step_size is None:
+        return step_size_const
+    if not callable(decr_step_size):
+        raise ValueError(
+            "'decr_step_size' must be 'auto', None, or a callable "
+            "f(initial_step_size, k) -> float")
+    return decr_step_size
+
+
+def _slice_rows(arr, start, stop):
+    if arr is None:
+        return None
+    return arr[start:stop]
+
+
+def _take_rows(arr, order):
+    if arr is None:
+        return None
+    return arr[order]
+
+
+class _GuidedBase:
+    """Shared driver loop for the three guided optimizers."""
+
+    optimizer_name = None
+
+    def _setup_common(self, x0, grad_fun, obj_fun, pred_fun, hess_vec_fun,
+                      batches_per_epoch, step_size, decr_step_size,
+                      shuffle_data, random_state, nepochs, valset_frac, tol,
+                      callback_epoch, callback_iter, kwargs_cb, verbose):
+        if not isinstance(batches_per_epoch, (int, np.integer)) or batches_per_epoch <= 0:
+            raise ValueError("'batches_per_epoch' must be a positive integer")
+        if step_size <= 0:
+            raise ValueError("'step_size' must be positive")
+        if nepochs <= 0:
+            raise ValueError("'nepochs' must be a positive integer")
+        if not callable(grad_fun):
+            raise ValueError("'grad_fun' must be callable")
+        for name, fn in (("obj_fun", obj_fun), ("pred_fun", pred_fun),
+                         ("hess_vec_fun", hess_vec_fun),
+                         ("callback_epoch", callback_epoch),
+                         ("callback_iter", callback_iter)):
+            if fn is not None and not callable(fn):
+                raise ValueError(f"'{name}' must be callable or None")
+        if valset_frac is not None:
+            if not (0.0 < valset_frac < 1.0):
+                raise ValueError("'valset_frac' must be in (0, 1) or None")
+            if obj_fun is None:
+                raise ValueError(
+                    "Must provide 'obj_fun' when using a validation fraction")
+
+        self.x = np.asarray(x0, dtype=self.optimizer.dtype).reshape(-1).copy()
+        self.n = self.x.shape[0]
+        self.step_size = float(step_size)
+        self.grad_fun = grad_fun
+        self.obj_fun = obj_fun
+        self.pred_fun = pred_fun
+        self.hess_vec_fun = hess_vec_fun
+        self.batches_per_epoch = int(batches_per_epoch)
+        self.decr_step_size = _resolve_schedule(decr_step_size)
+        self.shuffle_data = bool(shuffle_data)
+        self.random_state = 1 if random_state is None else int(random_state)
+        self.nepochs = int(nepochs)
+        self.valset_frac = valset_frac
+        self.tol = float(tol)
+        self.callback_epoch = callback_epoch
+        self.callback_iter = callback_iter
+        self.kwargs_cb = dict(kwargs_cb) if kwargs_cb else {}
+        self.verbose = bool(verbose)
+        self.epoch = 0
+        self.batch_size = None
+        self._reset_saved_batch()
+        # Prime the protocol: first call always yields a calc_grad request.
+        self.req = self.optimizer.run_optimizer(self.x, self.step_size)
+
+    # ------------------------------------------------------------------ #
+    @property
+    def niter(self) -> int:
+        return self.optimizer.niter
+
+    def get_x(self) -> np.ndarray:
+        """Copy of the current iterate."""
+        return self.x.copy()
+
+    def predict(self, X, additional_kwargs={}):
+        if self.pred_fun is None:
+            raise ValueError("Must supply 'pred_fun' in order to call predict.")
+        return self.pred_fun(self.x, X, **(additional_kwargs or {}))
+
+    # -- stored-batch container (partial_fit big batches) ---------------- #
+    def _reset_saved_batch(self):
+        self._stored_X, self._stored_y, self._stored_w = [], [], []
+
+    def _save_batch(self, X, y, w):
+        self._stored_X.append(X)
+        self._stored_y.append(y)
+        self._stored_w.append(w)
+
+    @staticmethod
+    def _stack(parts):
+        n_sparse = sum(issparse(p) for p in parts)
+        if 0 < n_sparse < len(parts):
+            warnings.warn("Mixing sparse and dense batches; forcing dense.")
+            parts = [np.asarray(p.todense()) if issparse(p) else np.asarray(p)
+                     for p in parts]
+            return np.concatenate(parts, axis=0)
+        if n_sparse:
+            return sp_vstack(parts)
+        return np.concatenate([np.asarray(p) for p in parts], axis=0)
+
+    def _pop_stored_batch(self):
+        if not self._stored_X:
+            raise ValueError("No stored batches available for a big-batch "
+                             "request; this should not happen.")
+        X = self._stack(self._stored_X)
+        y = self._stack(self._stored_y)
+        if all(w is None for w in self._stored_w):
+            w = None
+        else:
+            if any(w is None for w in self._stored_w):
+                warnings.warn("Some stored batches lack sample weights; "
+                              "missing weights are set to 1.")
+            filled = [np.ones(np.asarray(Xb).shape[0]) if wb is None else wb
+                      for Xb, wb in zip(self._stored_X, self._stored_w)]
+            w = self._stack(filled)
+        self._reset_saved_batch()
+        return X, y, w
+
+    def _long_batch_from_epoch(self, X, y, w, batch):
+        """Contiguous slice covering the last ``upd_freq`` batches
+        (``stochqn/_optimizers.py:55-79``)."""
+        upd_freq = self.optimizer.bfgs_upd_freq
+        diff = (batch + 1) % upd_freq
+        want = upd_freq - diff
+        if (batch + 1) >= want:
+            st = (batch + 1 - want) * self.batch_size
+            end = min(X.shape[0], (batch + 1) * self.batch_size)
+        else:
+            st = 0
+            end = min(X.shape[0], want * self.batch_size)
+        X_long = _slice_rows(X, st, end)
+        y_long = _slice_rows(y, st, end)
+        w_long = _slice_rows(w, st, end)
+        if diff > 0:
+            self._save_batch(X_long, y_long, w_long)
+            X_long, y_long, w_long = self._pop_stored_batch()
+        return X_long, y_long, w_long
+
+    # -- request dispatch ------------------------------------------------- #
+    def _fit_batch(self, X_batch, y_batch, w_batch, additional_kwargs,
+                   is_user_batch=False, X_full=None, y_full=None, w_full=None,
+                   X_val=None, y_val=None, w_val=None, batch=None):
+        kw = additional_kwargs or {}
+        while True:
+            task = self.req["task"]
+            on = self.req["requested_on"]
+            if task in ("calc_grad", "calc_grad_same_batch"):
+                self.optimizer.update_gradient(
+                    self.grad_fun(on, X_batch, y_batch,
+                                  sample_weight=w_batch, **kw))
+            elif task == "calc_fun_val_batch" and X_val is not None:
+                self.optimizer.update_function(
+                    self.obj_fun(on, X_val, y_val, sample_weight=w_val, **kw))
+            else:
+                if is_user_batch:
+                    X_long, y_long, w_long = self._pop_stored_batch()
+                else:
+                    X_long, y_long, w_long = self._long_batch_from_epoch(
+                        X_full, y_full, w_full, batch)
+                if task == "calc_grad_big_batch":
+                    self.optimizer.update_gradient(
+                        self.grad_fun(on, X_long, y_long,
+                                      sample_weight=w_long, **kw))
+                elif task == "calc_hess_vec":
+                    self.optimizer.update_hess_vec(
+                        self.hess_vec_fun(on[0], on[1], X_long, y_long,
+                                          sample_weight=w_long, **kw))
+                elif task == "calc_fun_val_batch":
+                    self.optimizer.update_function(
+                        self.obj_fun(on, X_long, y_long,
+                                     sample_weight=w_long, **kw))
+                else:
+                    raise ValueError(f"Unexpected task {task!r}")
+
+            if is_user_batch:
+                step = self.decr_step_size(self.step_size, self.niter)
+            else:
+                step = self.decr_step_size(self.step_size, self.epoch)
+
+            self.req = self.optimizer.run_optimizer(self.x, step)
+
+            if self.verbose and (self.req["info"]["iteration_info"]
+                                 != "no_problems_encountered"):
+                where = (f"at iteration {self.niter}" if is_user_batch else
+                         f"at iteration {self.niter}, epoch {self.epoch + 1}")
+                print(f"{self.optimizer_name} - {where}: "
+                      f"{self.req['info']['iteration_info']}")
+
+            if self.req["task"] == "calc_grad":
+                if self.callback_iter is not None:
+                    self.callback_iter(self.x, **self.kwargs_cb)
+                break
+
+    # -- public drivers ---------------------------------------------------- #
+    def fit(self, X, y, sample_weight=None, additional_kwargs={}, valset=None):
+        """Fit over ``nepochs`` epochs of ``batches_per_epoch`` batches,
+        optionally early-stopping on a validation objective."""
+        if X.shape[0] <= 0 or X.shape[0] != y.shape[0]:
+            raise ValueError("X and y must have matching, nonzero rows")
+        if sample_weight is not None and sample_weight.shape[0] != X.shape[0]:
+            raise ValueError("sample_weight must match X rows")
+
+        if valset is not None:
+            if self.obj_fun is None:
+                raise ValueError("Must provide 'obj_fun' to use a validation "
+                                 "set.")
+            X_val, y_val, w_val = valset
+            if self.valset_frac is not None:
+                warnings.warn("'valset_frac' is ignored when passing an "
+                              "explicit validation set.")
+        elif self.valset_frac is not None:
+            from sklearn.model_selection import train_test_split
+            if sample_weight is None:
+                X, X_val, y, y_val = train_test_split(
+                    X, y, test_size=self.valset_frac,
+                    random_state=self.random_state)
+                w_val = None
+            else:
+                X, X_val, y, y_val, sample_weight, w_val = train_test_split(
+                    X, y, sample_weight, test_size=self.valset_frac,
+                    random_state=self.random_state)
+        else:
+            X_val, y_val, w_val = None, None, None
+
+        obj_last_epoch = np.inf
+        self.batch_size = int(np.ceil(X.shape[0] / self.batches_per_epoch))
+        for self.epoch in range(self.nepochs):
+            if self.shuffle_data:
+                np.random.seed(self.random_state + self.epoch)
+                order = np.argsort(np.random.random(size=X.shape[0]))
+                X, y = _take_rows(X, order), _take_rows(y, order)
+                sample_weight = _take_rows(sample_weight, order)
+
+            for batch in range(self.batches_per_epoch):
+                st = batch * self.batch_size
+                end = min(X.shape[0], (batch + 1) * self.batch_size)
+                self._fit_batch(
+                    _slice_rows(X, st, end), _slice_rows(y, st, end),
+                    _slice_rows(sample_weight, st, end), additional_kwargs,
+                    is_user_batch=False, X_full=X, y_full=y,
+                    w_full=sample_weight, X_val=X_val, y_val=y_val,
+                    w_val=w_val, batch=batch)
+
+            if self.callback_epoch is not None:
+                self.callback_epoch(self.x, **self.kwargs_cb)
+
+            if X_val is not None and self.obj_fun is not None:
+                obj = float(self.obj_fun(self.x, X_val, y_val,
+                                         sample_weight=w_val,
+                                         **(additional_kwargs or {})))
+                if self.verbose:
+                    print(f"{self.optimizer_name} - epoch: {self.epoch + 1:2d},"
+                          f" f(x): {obj:12.4f}")
+                if (obj_last_epoch - obj) < self.tol and obj <= obj_last_epoch:
+                    if self.verbose:
+                        print(f"{self.optimizer_name} - terminated "
+                              "(decrease below tolerance).")
+                    break
+                obj_last_epoch = obj
+        return self
+
+    def partial_fit(self, X, y, sample_weight=None, additional_kwargs={}):
+        """Update with a single user-provided batch.
+
+        For SQN (and adaQN with ``use_grad_diff`` or ``max_incr``) the batch
+        is retained in a stored-batch container that serves future big-batch
+        / Hessian-vector requests (``stochqn/_optimizers.py:288-337``)."""
+        if self._saves_batches():
+            self._save_batch(X, y, sample_weight)
+        self._fit_batch(X, y, sample_weight, additional_kwargs,
+                        is_user_batch=True)
+        return self
+
+    def _saves_batches(self) -> bool:
+        return False
+
+
+class oLBFGS(_GuidedBase):
+    """Guided oLBFGS (reference: ``stochqn/_optimizers.py:416-522``)."""
+
+    optimizer_name = "oLBFGS"
+
+    def __init__(self, x0, grad_fun, obj_fun=None, pred_fun=None,
+                 batches_per_epoch=25, step_size=1e-3, decr_step_size="auto",
+                 shuffle_data=True, random_state=1, nepochs=25,
+                 valset_frac=None, tol=1e-1, callback_epoch=None,
+                 callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
+                 hess_init=None, min_curvature=1e-4, y_reg=None,
+                 check_nan=True, nthreads=-1, use_float=False, dtype=None):
+        self.optimizer = oLBFGS_free(
+            mem_size=mem_size, hess_init=hess_init,
+            min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan,
+            nthreads=nthreads, use_float=use_float, dtype=dtype)
+        self._setup_common(x0, grad_fun, obj_fun, pred_fun, None,
+                           batches_per_epoch, step_size, decr_step_size,
+                           shuffle_data, random_state, nepochs, valset_frac,
+                           tol, callback_epoch, callback_iter, kwargs_cb,
+                           verbose)
+
+
+class SQN(_GuidedBase):
+    """Guided SQN (reference: ``stochqn/_optimizers.py:524-650``)."""
+
+    optimizer_name = "SQN"
+
+    def __init__(self, x0, grad_fun, obj_fun=None, hess_vec_fun=None,
+                 pred_fun=None, batches_per_epoch=25, step_size=1e-3,
+                 decr_step_size="auto", shuffle_data=True, random_state=1,
+                 nepochs=25, valset_frac=None, tol=1e-1, callback_epoch=None,
+                 callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
+                 bfgs_upd_freq=20, min_curvature=1e-4, y_reg=None,
+                 use_grad_diff=False, check_nan=True, nthreads=-1,
+                 use_float=False, dtype=None):
+        if not use_grad_diff and hess_vec_fun is None:
+            raise ValueError("Without 'use_grad_diff', must provide "
+                             "'hess_vec_fun'.")
+        if hess_vec_fun is not None and use_grad_diff:
+            warnings.warn("'hess_vec_fun' is ignored with "
+                          "'use_grad_diff=True'.")
+        self.optimizer = SQN_free(
+            mem_size=mem_size, bfgs_upd_freq=bfgs_upd_freq,
+            min_curvature=min_curvature, y_reg=y_reg,
+            use_grad_diff=use_grad_diff, check_nan=check_nan,
+            nthreads=nthreads, use_float=use_float, dtype=dtype)
+        self._setup_common(x0, grad_fun, obj_fun, pred_fun, hess_vec_fun,
+                           batches_per_epoch, step_size, decr_step_size,
+                           shuffle_data, random_state, nepochs, valset_frac,
+                           tol, callback_epoch, callback_iter, kwargs_cb,
+                           verbose)
+
+    def _saves_batches(self) -> bool:
+        return True
+
+
+class adaQN(_GuidedBase):
+    """Guided adaQN (reference: ``stochqn/_optimizers.py:652-785``)."""
+
+    optimizer_name = "adaQN"
+
+    def __init__(self, x0, grad_fun, obj_fun=None, pred_fun=None,
+                 batches_per_epoch=25, step_size=1e-1, decr_step_size=None,
+                 shuffle_data=True, random_state=1, nepochs=25,
+                 valset_frac=None, tol=1e-1, callback_epoch=None,
+                 callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
+                 fisher_size=100, bfgs_upd_freq=20, max_incr=1.01,
+                 min_curvature=1e-4, y_reg=None, scal_reg=1e-4,
+                 rmsprop_weight=None, use_grad_diff=False, check_nan=True,
+                 nthreads=-1, use_float=False, dtype=None,
+                 h0_exact_reference=True):
+        if max_incr is not None and obj_fun is None:
+            raise ValueError("Must provide 'obj_fun' when passing 'max_incr'.")
+        if use_grad_diff and fisher_size is not None:
+            warnings.warn("'fisher_size' ignored with 'use_grad_diff=True'.")
+        self.optimizer = adaQN_free(
+            mem_size=mem_size, fisher_size=fisher_size,
+            bfgs_upd_freq=bfgs_upd_freq, max_incr=max_incr,
+            min_curvature=min_curvature, scal_reg=scal_reg,
+            rmsprop_weight=rmsprop_weight, y_reg=y_reg,
+            use_grad_diff=use_grad_diff, check_nan=check_nan,
+            nthreads=nthreads, use_float=use_float, dtype=dtype,
+            h0_exact_reference=h0_exact_reference)
+        self._setup_common(x0, grad_fun, obj_fun, pred_fun, None,
+                           batches_per_epoch, step_size, decr_step_size,
+                           shuffle_data, random_state, nepochs, valset_frac,
+                           tol, callback_epoch, callback_iter, kwargs_cb,
+                           verbose)
+
+    def _saves_batches(self) -> bool:
+        return (self.optimizer.use_grad_diff
+                or self.optimizer.max_incr > 0)

@@ -1,0 +1,228 @@
+"""Stochastic logistic regression fit with the quasi-Newton optimizers.
+
+Scikit-learn-style model equivalent to the reference's
+``StochasticLogisticRegression`` (``stochqn/_logistic.py:36-247``), with the
+loss / gradient / Hessian-vector functions implemented natively in JAX
+(:mod:`stochqn_tpu.models.losses`) instead of borrowed from sklearn
+internals.
+
+Conventions preserved:
+  * binary vs. multinomial auto-detected from ``y.ndim``
+    (``stochqn/_logistic.py:164-177``); multinomial expects one-hot labels,
+  * sample weights normalized to sum to one (``stochqn/_logistic.py:159``),
+  * initial weights ``~ Normal(0, 1)`` with ``np.random.seed(random_state)``
+    (``stochqn/_logistic.py:178-179``),
+  * ``partial_fit`` holds the step size constant unless asked otherwise
+    (``stochqn/_logistic.py:239-245``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from scipy.sparse import issparse
+except Exception:  # pragma: no cover
+    def issparse(_x):
+        return False
+
+from stochqn_tpu.guided import SQN, adaQN, oLBFGS, step_size_const
+from stochqn_tpu.models import losses
+
+
+def _densify(X):
+    return np.asarray(X.todense()) if issparse(X) else np.asarray(X)
+
+
+def _np(fun):
+    """Wrap a jitted JAX fn so it eats/returns numpy (protocol engine)."""
+    def wrapped(*args, **kwargs):
+        out = fun(*args, **kwargs)
+        return np.asarray(out)
+    return wrapped
+
+
+class StochasticLogisticRegression:
+    """Logistic regression (binary or multinomial) trained with oLBFGS, SQN,
+    or adaQN.
+
+    Parameters mirror the reference (``stochqn/_logistic.py:40-56``):
+    ``reg_param`` is l2 strength on an *average* log-loss (sample weights are
+    normalized), ``optimizer`` is one of ``"oLBFGS" | "SQN" | "adaQN"``, and
+    extra ``optimizer_kwargs`` flow to the underlying guided optimizer.
+    ``dtype`` (TPU extra) selects the compute dtype; default float32.
+    """
+
+    def __init__(self, reg_param=1e-3, fit_intercept=True, random_state=1,
+                 optimizer="SQN", step_size=1e-1, valset_frac=0.1,
+                 verbose=False, dtype=jnp.float32, **optimizer_kwargs):
+        if optimizer not in ("oLBFGS", "SQN", "adaQN"):
+            raise ValueError("'optimizer' must be one of 'oLBFGS', 'SQN', "
+                             "'adaQN'")
+        if step_size <= 0:
+            raise ValueError("'step_size' must be positive")
+        if reg_param < 0:
+            raise ValueError("'reg_param' must be non-negative")
+        optimizer_kwargs["step_size"] = float(step_size)
+        optimizer_kwargs["valset_frac"] = valset_frac
+        optimizer_kwargs["verbose"] = verbose
+        optimizer_kwargs.setdefault("dtype", dtype)
+
+        self.optimizer_name = optimizer
+        self.optimizer = None
+        self.optimizer_kwargs = optimizer_kwargs
+        self.reg_param = float(reg_param)
+        self.fit_intercept = bool(fit_intercept)
+        self.random_state = random_state
+        self.nclasses: Optional[int] = None
+        self._is_mult: Optional[bool] = None
+        self.is_fitted = False
+
+    # ------------------------------------------------------------------ #
+    @property
+    def coef_(self):
+        if not self.is_fitted:
+            return None
+        x = self.optimizer.x
+        if self._is_mult:
+            w = x.reshape(self.nclasses, -1)
+            return w[:, :-1] if self.fit_intercept else w
+        return x[:-1] if self.fit_intercept else x
+
+    @property
+    def intercept_(self):
+        if not self.is_fitted:
+            return None
+        x = self.optimizer.x
+        if self._is_mult:
+            if self.fit_intercept:
+                return x.reshape(self.nclasses, -1)[:, -1]
+            return np.zeros(self.nclasses)
+        return x[-1] if self.fit_intercept else 0.0
+
+    # ------------------------------------------------------------------ #
+    def _check_inputs(self, X, y, sample_weight):
+        if sample_weight is None:
+            sample_weight = np.ones(X.shape[0])
+        else:
+            sample_weight = np.asarray(sample_weight, np.float64).reshape(-1)
+        if sample_weight.shape[0] != X.shape[0] or X.shape[0] != y.shape[0]:
+            raise ValueError("X, y, sample_weight must have matching rows")
+        if issparse(y):
+            y = np.asarray(y.todense())
+        # Average (rather than summed) log-loss, like the reference
+        # (stochqn/_logistic.py:159).
+        sample_weight = sample_weight / sample_weight.sum()
+        return X, y, sample_weight
+
+    def _build_funs(self):
+        dtype = self.optimizer_kwargs.get("dtype", jnp.float32)
+        reg = self.reg_param
+        if self._is_mult:
+            loss_j = jax.jit(losses.multinomial_logistic_loss)
+            grad_j = jax.jit(losses.multinomial_logistic_grad)
+            hv_j = jax.jit(losses.multinomial_logistic_hessvec)
+        else:
+            loss_j = jax.jit(losses.binary_logistic_loss)
+            grad_j = jax.jit(losses.binary_logistic_grad)
+            hv_j = jax.jit(losses.binary_logistic_hessvec)
+
+        def prep(x, X):
+            return jnp.asarray(x, dtype), jnp.asarray(_densify(X), dtype)
+
+        def obj_fun(x, X, y, sample_weight=None, reg_param=reg):
+            x, Xd = prep(x, X)
+            return float(loss_j(x, Xd, y, sample_weight, reg_param))
+
+        def grad_fun(x, X, y, sample_weight=None, reg_param=reg):
+            x, Xd = prep(x, X)
+            return np.asarray(grad_j(x, Xd, y, sample_weight, reg_param))
+
+        def hess_vec_fun(x, v, X, y, sample_weight=None, reg_param=reg):
+            x, Xd = prep(x, X)
+            v = jnp.asarray(v, dtype)
+            return np.asarray(hv_j(x, v, Xd, y, sample_weight, reg_param))
+
+        return obj_fun, grad_fun, hess_vec_fun
+
+    def _pred_fun(self):
+        if self._is_mult:
+            k = self.nclasses
+            return lambda x, X: np.asarray(
+                losses.multinomial_logistic_predict_proba(
+                    jnp.asarray(x), jnp.asarray(_densify(X), x.dtype), k))
+        return lambda x, X: np.asarray(
+            losses.binary_logistic_predict_proba(
+                jnp.asarray(x), jnp.asarray(_densify(X), x.dtype)))
+
+    def _initialize_optimizer(self, X, y):
+        if self.optimizer is not None:
+            return
+        self._is_mult = (y.ndim == 2)
+        self.nclasses = y.shape[1] if self._is_mult else 2
+        obj_fun, grad_fun, hess_vec_fun = self._build_funs()
+        np.random.seed(self.random_state)
+        n_out = y.shape[1] if self._is_mult else 1
+        w0 = np.random.normal(
+            size=(X.shape[1] + self.fit_intercept) * n_out)
+        kwargs = dict(self.optimizer_kwargs)
+        common = dict(x0=w0, grad_fun=grad_fun, obj_fun=obj_fun,
+                      pred_fun=self._pred_fun(),
+                      random_state=self.random_state)
+        if self.optimizer_name == "oLBFGS":
+            self.optimizer = oLBFGS(**common, **kwargs)
+        elif self.optimizer_name == "SQN":
+            self.optimizer = SQN(**common, hess_vec_fun=hess_vec_fun,
+                                 **kwargs)
+        else:
+            self.optimizer = adaQN(**common, **kwargs)
+
+    # ------------------------------------------------------------------ #
+    def fit(self, X, y, sample_weight=None):
+        """Fit in stochastic batches over multiple epochs."""
+        X, y, sample_weight = self._check_inputs(X, y, sample_weight)
+        self._initialize_optimizer(X, y)
+        self.optimizer.fit(X, y, sample_weight,
+                           {"reg_param": self.reg_param})
+        self.is_fitted = True
+        return self
+
+    def partial_fit(self, X, y, sample_weight=None, classes=None,
+                    decr_step_size=False):
+        """Update the model with one user-provided batch."""
+        del classes
+        X, y, sample_weight = self._check_inputs(X, y, sample_weight)
+        self._initialize_optimizer(X, y)
+        if decr_step_size:
+            self.optimizer.partial_fit(X, y, sample_weight,
+                                       {"reg_param": self.reg_param})
+        else:
+            saved = self.optimizer.decr_step_size
+            self.optimizer.decr_step_size = step_size_const
+            try:
+                self.optimizer.partial_fit(X, y, sample_weight,
+                                           {"reg_param": self.reg_param})
+            finally:
+                self.optimizer.decr_step_size = saved
+        self.is_fitted = True
+        return self
+
+    def predict(self, X):
+        """Predicted class index per row."""
+        proba = self.optimizer.predict(X)
+        if self._is_mult:
+            return np.argmax(proba, axis=1)
+        return (proba >= 0.5).astype(np.uint8)
+
+    def predict_proba(self, X):
+        """Class scores per row (reference semantics: per-class sigmoid for
+        multinomial, ``stochqn/_logistic.py:14-20``)."""
+        proba = self.optimizer.predict(X)
+        if self._is_mult:
+            return proba
+        proba = proba.reshape(-1, 1)
+        return np.concatenate([1.0 - proba, proba], axis=1)

@@ -1,0 +1,161 @@
+"""Fused on-device engine vs the free-mode protocol: same trajectories.
+
+The fused engine must track the protocol state machines when fed the same
+batch sequence (big batches = cyclic window of the last upd_freq
+minibatches, which the driver here replicates for the protocol side).
+Bitwise equality is not expected — the two paths compile to different XLA
+programs with different fusion/reduction orders — so tolerances allow for
+float-noise amplification over a couple of epochs."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig, SQNConfig
+from stochqn_tpu.free import SQN_free, adaQN_free, oLBFGS_free
+from stochqn_tpu.fused import FusedTrainer, batchify
+
+RTOL, ATOL = 1e-6, 1e-9
+NEPOCHS = 2
+
+
+def _quad_problem(rng, n):
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    a = q @ np.diag(rng.uniform(0.5, 4.0, n)) @ q.T
+    return jnp.asarray(a)
+
+
+def _make_funs(a):
+    def grad_fn(x, batch):
+        # batch: centers [bs, n]; empirical gradient = A (x - mean(c))
+        return a @ (x - jnp.mean(batch, axis=0))
+
+    def obj_fn(x, batch):
+        r = x - jnp.mean(batch, axis=0)
+        return 0.5 * r @ a @ r
+    return grad_fn, obj_fn
+
+
+def _protocol_run(opt, grad_fn, obj_fn, centers, upd_freq, target_iters,
+                  step_size):
+    """Drive the free-mode API with the fused engine's batch semantics,
+    evaluating requests with the same JAX functions the fused engine uses.
+    Runs until exactly ``target_iters`` optimizer iterations completed."""
+    n = centers.shape[-1]
+    x = np.zeros(n)
+    num_batches = centers.shape[0]
+    w = min(upd_freq, num_batches)
+    req = opt.run_optimizer(x, step_size)
+    b = -1
+    while True:
+        task = req["task"]
+        if task == "calc_grad" and opt.niter >= target_iters:
+            break
+        if task in ("calc_grad", "calc_grad_same_batch"):
+            if task == "calc_grad":
+                b += 1
+            batch = jnp.asarray(centers[b % num_batches])
+            opt.update_gradient(
+                grad_fn(jnp.asarray(req["requested_on"]), batch))
+        else:
+            i = b % num_batches
+            idx = (i + 1 - w + np.arange(w)) % num_batches
+            big = jnp.asarray(centers[idx].reshape(-1, n))
+            if task == "calc_grad_big_batch":
+                opt.update_gradient(
+                    grad_fn(jnp.asarray(req["requested_on"]), big))
+            elif task == "calc_hess_vec":
+                xr, vr = req["requested_on"]
+                hv = jax.jvp(lambda xx: grad_fn(xx, big),
+                             (jnp.asarray(xr),), (jnp.asarray(vr),))[1]
+                opt.update_hess_vec(hv)
+            elif task == "calc_fun_val_batch":
+                opt.update_function(
+                    obj_fn(jnp.asarray(req["requested_on"]), big))
+        req = opt.run_optimizer(x, step_size)
+    return x
+
+
+def _fused_run(trainer, centers_batched, nepochs, step_size):
+    state = trainer.init(jnp.zeros(centers_batched.shape[-1]))
+    epoch_fn = jax.jit(trainer.epoch)
+    for _ in range(nepochs):
+        state, _ = epoch_fn(state, centers_batched, step_size)
+    return np.asarray(state.x)
+
+
+@pytest.mark.parametrize("bs", [1, 3])
+def test_fused_olbfgs_matches_protocol(rng, bs):
+    n, B = 10, 12
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, obj_fn = _make_funs(a)
+
+    trainer = FusedTrainer("oLBFGS", OLBFGSConfig.create(mem_size=4),
+                           grad_fn)
+    x_fused = _fused_run(trainer, jnp.asarray(centers), NEPOCHS, 0.05)
+
+    opt = oLBFGS_free(mem_size=4)
+    # protocol: each oLBFGS iteration = 2 calls (grad + same-batch grad)
+    x_proto = _protocol_run(opt, grad_fn, obj_fn, centers, 1,
+                            target_iters=NEPOCHS * B, step_size=0.05)
+    np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("use_grad_diff", [False, True])
+def test_fused_sqn_matches_protocol(rng, use_grad_diff):
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, obj_fn = _make_funs(a)
+
+    cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L,
+                           use_grad_diff=use_grad_diff)
+    trainer = FusedTrainer("SQN", cfg, grad_fn)
+    x_fused = _fused_run(trainer, jnp.asarray(centers), NEPOCHS, 0.05)
+
+    opt = SQN_free(mem_size=3, bfgs_upd_freq=L, use_grad_diff=use_grad_diff)
+    x_proto = _protocol_run(opt, grad_fn, obj_fn, centers, L,
+                            target_iters=NEPOCHS * B, step_size=0.05)
+    np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("use_grad_diff,max_incr", [
+    (False, 1.01), (False, None), (True, 1.01),
+])
+def test_fused_adaqn_matches_protocol(rng, use_grad_diff, max_incr):
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, obj_fn = _make_funs(a)
+
+    cfg = AdaQNConfig.create(
+        mem_size=3, fisher_size=10, bfgs_upd_freq=L, max_incr=max_incr,
+        use_grad_diff=use_grad_diff)
+    trainer = FusedTrainer("adaQN", cfg, grad_fn, obj_fn=obj_fn)
+    x_fused = _fused_run(trainer, jnp.asarray(centers), NEPOCHS, 0.05)
+
+    opt = adaQN_free(mem_size=3, fisher_size=10, bfgs_upd_freq=L,
+                     max_incr=max_incr, use_grad_diff=use_grad_diff)
+    x_proto = _protocol_run(opt, grad_fn, obj_fn, centers, L,
+                            target_iters=NEPOCHS * B, step_size=0.05)
+    np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
+
+
+def test_fused_scan_counts_iterations(rng):
+    n, B, bs = 6, 8, 2
+    a = _quad_problem(rng, n)
+    grad_fn, _ = _make_funs(a)
+    trainer = FusedTrainer("oLBFGS", OLBFGSConfig.create(), grad_fn)
+    data = jnp.asarray(rng.standard_normal((B, bs, n)))
+    state = trainer.init(jnp.zeros(n))
+    state, infos = jax.jit(trainer.epoch)(state, data, 0.05)
+    assert int(state.niter) == B
+    assert infos.shape == (B,)
+
+
+def test_batchify_drops_tail(rng):
+    data = {"x": jnp.zeros((10, 3)), "y": jnp.zeros((10,))}
+    out = batchify(data, 4)
+    assert out["x"].shape == (2, 4, 3)
+    assert out["y"].shape == (2, 4)

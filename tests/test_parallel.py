@@ -1,0 +1,122 @@
+"""Multi-device tests on a virtual 8-device CPU mesh: data-parallel
+reductions, parameter-axis sharding of the two-loop, and the fused trainer
+under GSPMD sharding."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stochqn_tpu.core.config import SQNConfig
+from stochqn_tpu.fused import FusedTrainer
+from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.parallel import (data_parallel_grad, data_parallel_hvp,
+                                  data_parallel_value, make_mesh,
+                                  param_sharding, shard_batches, shard_state)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def _quad(rng, n):
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    return jnp.asarray(q @ np.diag(rng.uniform(0.5, 4.0, n)) @ q.T)
+
+
+def test_data_parallel_grad_matches_local(rng):
+    n, bs = 12, 16
+    a = _quad(rng, n)
+    mesh = make_mesh(n_data=8, n_param=1)
+
+    def grad_fn(x, batch):  # sum-over-examples gradient
+        return jnp.sum(batch, axis=0) + 0.0 * x  # trivially separable
+
+    dp = data_parallel_grad(grad_fn, mesh, reduction="sum")
+    x = jnp.asarray(rng.standard_normal(n))
+    batch = jnp.asarray(rng.standard_normal((bs, n)))
+    np.testing.assert_allclose(np.asarray(dp(x, batch)),
+                               np.asarray(grad_fn(x, batch)), rtol=1e-12)
+
+
+def test_data_parallel_quadratic_grad(rng):
+    n, bs = 10, 24
+    a = _quad(rng, n)
+    mesh = make_mesh(n_data=8, n_param=1)
+
+    def grad_fn(x, batch):
+        # sum over examples of A(x - c_i)
+        return (a @ (x[:, None] - batch.T)).sum(axis=1)
+
+    dp = data_parallel_grad(grad_fn, mesh, reduction="sum")
+    x = jnp.asarray(rng.standard_normal(n))
+    batch = jnp.asarray(rng.standard_normal((bs, n)))
+    np.testing.assert_allclose(np.asarray(dp(x, batch)),
+                               np.asarray(grad_fn(x, batch)), rtol=1e-10)
+
+
+def test_data_parallel_value_and_hvp(rng):
+    n, bs = 10, 16
+    a = _quad(rng, n)
+    mesh = make_mesh(n_data=8, n_param=1)
+
+    def obj_fn(x, batch):
+        r = x[None, :] - batch
+        return 0.5 * jnp.einsum("bi,ij,bj->", r, a, r)
+
+    def grad_fn(x, batch):
+        return (a @ (x[:, None] - batch.T)).sum(axis=1)
+
+    x = jnp.asarray(rng.standard_normal(n))
+    v = jnp.asarray(rng.standard_normal(n))
+    batch = jnp.asarray(rng.standard_normal((bs, n)))
+
+    dv = data_parallel_value(obj_fn, mesh)
+    np.testing.assert_allclose(float(dv(x, batch)), float(obj_fn(x, batch)),
+                               rtol=1e-10)
+
+    dh = data_parallel_hvp(grad_fn, mesh)
+    want = jax.jvp(lambda xx: grad_fn(xx, batch), (x,), (v,))[1]
+    np.testing.assert_allclose(np.asarray(dh(x, v, batch)),
+                               np.asarray(want), rtol=1e-10)
+
+
+def test_two_loop_param_sharded_matches(rng):
+    """Sharding the parameter axis across 8 devices must not change the
+    two-loop result (GSPMD inserts the psums)."""
+    n, m = 64, 5
+    mesh = make_mesh(n_data=1, n_param=8)
+    s_mem = rng.standard_normal((m, n))
+    y_mem = s_mem + 0.3 * rng.standard_normal((m, n))
+    g = rng.standard_normal(n)
+
+    ref = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_mem),
+                              jnp.asarray(y_mem), 0, m))
+
+    g_s = jax.device_put(jnp.asarray(g), param_sharding(mesh, 1))
+    s_s = jax.device_put(jnp.asarray(s_mem), param_sharding(mesh, 2))
+    y_s = jax.device_put(jnp.asarray(y_mem), param_sharding(mesh, 2))
+    out = jax.jit(lambda g, s, y: two_loop(g, s, y, 0, m))(g_s, s_s, y_s)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-10)
+
+
+def test_fused_trainer_sharded_epoch_matches_unsharded(rng):
+    n, B, bs, L = 16, 8, 8, 4
+    a = _quad(rng, n)
+
+    def grad_fn(x, batch):
+        return a @ (x - jnp.mean(batch, axis=0))
+
+    cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    trainer = FusedTrainer("SQN", cfg, grad_fn)
+    data = jnp.asarray(rng.standard_normal((B, bs, n)))
+    state0 = trainer.init(jnp.zeros(n))
+
+    st_plain, _ = jax.jit(trainer.epoch)(state0, data, 0.05)
+
+    mesh = make_mesh(n_data=4, n_param=2)
+    state_sh = shard_state(trainer.init(jnp.zeros(n)), mesh)
+    data_sh = shard_batches(data, mesh)
+    st_sh, _ = jax.jit(trainer.epoch)(state_sh, data_sh, 0.05)
+
+    np.testing.assert_allclose(np.asarray(st_sh.x), np.asarray(st_plain.x),
+                               rtol=1e-8, atol=1e-10)
+    assert int(st_sh.niter) == B

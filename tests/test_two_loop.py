@@ -1,0 +1,143 @@
+"""Two-loop recursion: compact (matmul) form vs sequential form vs NumPy
+oracle vs dense-matrix reconstruction."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stochqn_tpu.ops.two_loop import two_loop, two_loop_sequential
+from oracle_numpy import two_loop_np
+
+
+def _random_pairs(rng, n, k, spd=True):
+    """Generate k (s, y) pairs with positive curvature (if spd)."""
+    pairs = []
+    for _ in range(k):
+        s = rng.standard_normal(n)
+        y = rng.standard_normal(n)
+        if spd:
+            y = y + (1.0 + abs(np.dot(s, y))) / np.dot(s, s) * s  # force s.y > 0
+        pairs.append((s, y))
+    return pairs
+
+
+def _fill_ring(pairs, mem_size, n, head_offset=0):
+    """Place chronological pairs into a ring with arbitrary start offset."""
+    s_mem = np.zeros((mem_size, n))
+    y_mem = np.zeros((mem_size, n))
+    count = len(pairs)
+    start = head_offset % mem_size
+    for c, (s, y) in enumerate(pairs):
+        row = (start + c) % mem_size
+        s_mem[row] = s
+        y_mem[row] = y
+    head = (start + count) % mem_size if count == mem_size else count
+    if count == mem_size:
+        head = start  # full ring: head == oldest
+    else:
+        # not-full ring must have start == 0 per the C invariant
+        s_mem = np.zeros((mem_size, n))
+        y_mem = np.zeros((mem_size, n))
+        for c, (s, y) in enumerate(pairs):
+            s_mem[c] = s
+            y_mem[c] = y
+        head = count
+    return s_mem, y_mem, head, count
+
+
+@pytest.mark.parametrize("n", [7, 130])
+@pytest.mark.parametrize("count,mem_size,head_offset", [
+    (0, 5, 0), (1, 5, 0), (3, 5, 0), (5, 5, 0), (5, 5, 2), (5, 5, 4),
+    (10, 10, 7),
+])
+@pytest.mark.parametrize("h0", [0.0, 0.37])
+def test_compact_matches_oracle_scalar_h0(rng, n, count, mem_size,
+                                          head_offset, h0):
+    pairs = _random_pairs(rng, n, count)
+    s_mem, y_mem, head, cnt = _fill_ring(pairs, mem_size, n, head_offset)
+    g = rng.standard_normal(n)
+
+    want = two_loop_np(g, pairs, h0=h0)
+    got = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_mem),
+                              jnp.asarray(y_mem), head, cnt, h0=h0))
+    got_seq = np.asarray(two_loop_sequential(
+        jnp.asarray(g), jnp.asarray(s_mem), jnp.asarray(y_mem), head, cnt,
+        h0=h0))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(got_seq, want, rtol=1e-10, atol=1e-12)
+
+
+def test_compact_matches_oracle_diag(rng):
+    n, mem_size, count = 50, 6, 6
+    pairs = _random_pairs(rng, n, count)
+    s_mem, y_mem, head, cnt = _fill_ring(pairs, mem_size, n, head_offset=3)
+    g = rng.standard_normal(n)
+    diag = rng.uniform(0.1, 2.0, size=n)
+
+    want = two_loop_np(g, pairs, diag=diag)
+    got = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_mem),
+                              jnp.asarray(y_mem), head, cnt,
+                              diag=jnp.asarray(diag)))
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_empty_memory_returns_gradient(rng):
+    n = 11
+    g = rng.standard_normal(n)
+    s_mem = y_mem = jnp.zeros((4, n))
+    out = np.asarray(two_loop(jnp.asarray(g), s_mem, y_mem, 0, 0, h0=5.0))
+    np.testing.assert_allclose(out, g)  # h0 NOT applied when empty
+    diag = rng.uniform(0.5, 1.5, size=n)
+    out2 = np.asarray(two_loop(jnp.asarray(g), s_mem, y_mem, 0, 0,
+                               diag=jnp.asarray(diag)))
+    np.testing.assert_allclose(out2, diag * g)
+
+
+def test_secant_condition(rng):
+    """BFGS invariant: H_k y_last = s_last, so two_loop(y_last) == s_last."""
+    n, k = 12, 5
+    pairs = _random_pairs(rng, n, k)
+    s_mem, y_mem, head, cnt = _fill_ring(pairs, k, n, head_offset=2)
+    s_last, y_last = pairs[-1]
+    got = np.asarray(two_loop(jnp.asarray(y_last), jnp.asarray(s_mem),
+                              jnp.asarray(y_mem), head, cnt))
+    np.testing.assert_allclose(got, s_last, rtol=1e-8, atol=1e-10)
+
+
+def test_two_loop_equals_dense_inverse_hessian(rng):
+    """With A-conjugate directions and exact y = A s, BFGS satisfies the
+    hereditary secant property and after n pairs equals A^{-1} exactly."""
+    n = 8
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    a = q @ np.diag(rng.uniform(1.0, 3.0, n)) @ q.T
+    # build A-conjugate directions by Gram-Schmidt in the A-inner product
+    dirs = []
+    for _ in range(n):
+        s = rng.standard_normal(n)
+        for p in dirs:
+            s = s - (p @ a @ s) / (p @ a @ p) * p
+        dirs.append(s)
+    s_mem = np.stack(dirs)
+    y_mem = s_mem @ a
+    g = rng.standard_normal(n)
+    got = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_mem),
+                              jnp.asarray(y_mem), 0, n))
+    want = np.linalg.solve(a, g)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+
+
+def test_stale_rows_are_masked(rng):
+    """Rows beyond `count` may hold stale (nonzero) data after a flush and
+    must not affect the result."""
+    n, mem_size, count = 20, 5, 2
+    pairs = _random_pairs(rng, n, count)
+    s_mem, y_mem, head, cnt = _fill_ring(pairs, mem_size, n)
+    s_stale = s_mem.copy()
+    y_stale = y_mem.copy()
+    s_stale[3:] = rng.standard_normal((2, n)) * 100
+    y_stale[3:] = rng.standard_normal((2, n)) * 100
+    g = rng.standard_normal(n)
+    clean = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_mem),
+                                jnp.asarray(y_mem), head, cnt))
+    stale = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_stale),
+                                jnp.asarray(y_stale), head, cnt))
+    np.testing.assert_allclose(stale, clean, rtol=1e-10)
