@@ -1,0 +1,231 @@
+"""Measure the reference C core's throughput on this machine.
+
+Compiles the UNMODIFIED reference sources from ``/root/reference`` at
+runtime (nothing is copied into this repo) against a small local BLAS shim,
+then drives ``run_SQN`` through its public C ABI with numpy gradient /
+Hessian-vector evaluations on the same BibTeX-shaped workload as
+``bench.py``, and records iters/s to ``BASELINE_MEASURED.json``.
+
+Run:  python benchmarks/reference_baseline.py
+Skipped automatically if ``/root/reference`` is absent.
+"""
+import ctypes
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Same shapes as bench.py
+N_FEATURES = 1836
+N_CLASSES = 159
+BATCH_SIZE = 50
+NUM_BATCHES = 133
+UPD_FREQ = 20
+REG = 1e-1
+STEP = 1e-2
+
+BLASFUNS_H = r"""
+#ifndef SHIM_BLASFUNS_H
+#define SHIM_BLASFUNS_H
+enum CBLAS_ORDER {CblasRowMajor=101, CblasColMajor=102};
+enum CBLAS_TRANSPOSE {CblasNoTrans=111, CblasTrans=112, CblasConjTrans=113};
+typedef enum CBLAS_ORDER CBLAS_ORDER;
+typedef enum CBLAS_TRANSPOSE CBLAS_TRANSPOSE;
+double cblas_ddot(int n, const double *x, int incx, const double *y, int incy);
+void cblas_daxpy(int n, double a, const double *x, int incx, double *y, int incy);
+void cblas_dscal(int n, double alpha, double *x, int incx);
+double cblas_dnrm2(int n, const double *x, int incx);
+void cblas_dgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
+                 double alpha, const double *a, int lda, const double *x,
+                 int incx, double beta, double *y, int incy);
+#endif
+"""
+
+BLAS_SHIM_C = r"""
+#include "blasfuns.h"
+#include <math.h>
+double cblas_ddot(int n, const double *x, int incx, const double *y, int incy){
+    double s = 0.0;
+    for (int i = 0; i < n; i++) s += x[i*incx] * y[i*incy];
+    return s;
+}
+void cblas_daxpy(int n, double a, const double *x, int incx, double *y, int incy){
+    for (int i = 0; i < n; i++) y[i*incy] += a * x[i*incx];
+}
+void cblas_dscal(int n, double alpha, double *x, int incx){
+    for (int i = 0; i < n; i++) x[i*incx] *= alpha;
+}
+double cblas_dnrm2(int n, const double *x, int incx){
+    double s = 0.0;
+    for (int i = 0; i < n; i++) s += x[i*incx] * x[i*incx];
+    return sqrt(s);
+}
+void cblas_dgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
+                 double alpha, const double *a, int lda, const double *x,
+                 int incx, double beta, double *y, int incy){
+    /* row-major only, as used by the optimizer core */
+    if (trans == CblasNoTrans) {
+        for (int i = 0; i < m; i++) {
+            double s = 0.0;
+            for (int j = 0; j < n; j++) s += a[i*lda + j] * x[j*incx];
+            y[i*incy] = alpha * s + beta * y[i*incy];
+        }
+    } else {
+        for (int j = 0; j < n; j++) y[j*incy] *= beta;
+        for (int i = 0; i < m; i++) {
+            double s = alpha * x[i*incx];
+            for (int j = 0; j < n; j++) y[j*incy] += s * a[i*lda + j];
+        }
+    }
+}
+"""
+
+
+def compile_reference(build_dir: str) -> str:
+    with open(os.path.join(build_dir, "blasfuns.h"), "w") as f:
+        f.write(BLASFUNS_H)
+    with open(os.path.join(build_dir, "blas_shim.c"), "w") as f:
+        f.write(BLAS_SHIM_C)
+    so = os.path.join(build_dir, "libstochqn_ref.so")
+    cmd = [
+        "gcc", "-O3", "-march=native", "-std=c99", "-fPIC", "-shared",
+        "-fopenmp", "-DUSE_DOUBLE",
+        f"-I{build_dir}", f"-I{REFERENCE}/include",
+        f"{REFERENCE}/src/stochqn.c",
+        os.path.join(build_dir, "blas_shim.c"),
+        "-o", so, "-lm",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return so
+
+
+def multinomial_grad(w, X, Y, reg):
+    """Weighted-mean multinomial logistic gradient, numpy/BLAS."""
+    k = Y.shape[1]
+    W = w.reshape(k, -1)
+    coef, b = W[:, :-1], W[:, -1]
+    z = X @ coef.T + b
+    z -= z.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    diff = (p - Y) / X.shape[0]
+    g_coef = diff.T @ X + reg * coef
+    g = np.concatenate([g_coef, diff.sum(axis=0)[:, None]], axis=1)
+    return g.reshape(-1)
+
+
+def multinomial_hessvec(w, v, X, Y, reg):
+    k = Y.shape[1]
+    W = w.reshape(k, -1)
+    coef, b = W[:, :-1], W[:, -1]
+    V = v.reshape(k, -1)
+    v_coef, v_b = V[:, :-1], V[:, -1]
+    z = X @ coef.T + b
+    z -= z.max(axis=1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=1, keepdims=True)
+    zv = X @ v_coef.T + v_b
+    r = (p * (zv - (p * zv).sum(axis=1, keepdims=True))) / X.shape[0]
+    h_coef = r.T @ X + reg * v_coef
+    h = np.concatenate([h_coef, r.sum(axis=0)[:, None]], axis=1)
+    return h.reshape(-1)
+
+
+def main():
+    if not os.path.isdir(REFERENCE):
+        print(json.dumps({"skipped": "no reference checkout"}))
+        return
+
+    build_dir = tempfile.mkdtemp(prefix="stochqn_ref_")
+    so_path = compile_reference(build_dir)
+    lib = ctypes.CDLL(so_path)
+
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.initialize_SQN.restype = ctypes.c_void_p
+    lib.initialize_SQN.argtypes = [
+        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.run_SQN.restype = ctypes.c_int
+    lib.run_SQN.argtypes = [
+        ctypes.c_double, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.dealloc_SQN.argtypes = [ctypes.c_void_p]
+
+    n = (N_FEATURES + 1) * N_CLASSES
+    rng = np.random.default_rng(1)
+    Xb = rng.standard_normal((NUM_BATCHES, BATCH_SIZE, N_FEATURES))
+    labels = rng.integers(0, N_CLASSES, (NUM_BATCHES, BATCH_SIZE))
+    Yb = np.eye(N_CLASSES)[labels]
+    x = rng.standard_normal(n)
+
+    ws = lib.initialize_SQN(n, 10, UPD_FREQ, 1e-4, 0, 0.0, 1, 4)
+    assert ws
+
+    grad = np.zeros(n)
+    hess_vec = np.zeros(n)
+    req = dp()
+    req_vec = dp()
+    task = ctypes.c_int(0)
+    info = ctypes.c_int(0)
+
+    CALC_GRAD, CALC_HESS_VEC = 101, 104
+
+    def run(step):
+        return lib.run_SQN(
+            step, x.ctypes.data_as(dp), grad.ctypes.data_as(dp),
+            hess_vec.ctypes.data_as(dp), ctypes.byref(req),
+            ctypes.byref(req_vec), ctypes.byref(task), ws,
+            ctypes.byref(info))
+
+    def read_req(ptr):
+        return np.ctypeslib.as_array(ptr, shape=(n,))
+
+    run(STEP)   # first call -> requests gradient
+    b = -1
+    niter = 0
+    target_iters = 2 * NUM_BATCHES
+    t0 = time.perf_counter()
+    while niter < target_iters:
+        t = task.value
+        if t == CALC_GRAD:
+            b += 1
+            i = b % NUM_BATCHES
+            grad[:] = multinomial_grad(read_req(req), Xb[i], Yb[i], REG)
+            niter += 1
+        elif t == CALC_HESS_VEC:
+            i = b % NUM_BATCHES
+            idx = (i + 1 - UPD_FREQ + np.arange(UPD_FREQ)) % NUM_BATCHES
+            Xl = Xb[idx].reshape(-1, N_FEATURES)
+            Yl = Yb[idx].reshape(-1, N_CLASSES)
+            hess_vec[:] = multinomial_hessvec(
+                read_req(req), read_req(req_vec), Xl, Yl, REG)
+        else:
+            raise RuntimeError(f"unexpected task {t}")
+        run(STEP)
+    dt = time.perf_counter() - t0
+    lib.dealloc_SQN(ws)
+
+    iters_per_s = target_iters / dt
+    out = {
+        "reference_sqn_bibtex_iters_per_s": round(iters_per_s, 3),
+        "note": ("reference C core (float64, CPU, numpy gradient evals) on "
+                 "synthetic BibTeX-shaped SQN workload; same shapes as "
+                 "bench.py"),
+        "target_iters": target_iters,
+        "seconds": round(dt, 3),
+    }
+    with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
