@@ -54,25 +54,47 @@ def _resolve_dtype(use_float: bool, dtype) -> jnp.dtype:
 
 
 class _StochQNFree:
-    """Shared machinery for the three free-mode wrappers."""
+    """Shared machinery for the three free-mode wrappers.
+
+    ``backend="jax"`` (default) runs the jitted device state machines;
+    ``backend="native"`` runs the C++ core (``native/``) through ctypes —
+    a zero-JAX CPU engine with microsecond per-call latency, the role the
+    reference's C core + Cython bridge played.
+    """
 
     _cfg = None          # set by subclass __init__
     _advance_fn = None   # staticmethod advance(cfg, state, *inputs)
 
-    def __init__(self):
+    def __init__(self, backend: str = "jax"):
+        if backend not in ("jax", "native"):
+            raise ValueError("backend must be 'jax' or 'native'")
+        self.backend = backend
         self.state = None
+        self._native = None
         self._n = None
         self._gradient = None
+
+    def _make_native(self):
+        raise NotImplementedError
 
     # -- evaluation inputs -------------------------------------------------
     def update_gradient(self, gradient) -> None:
         """Pass the requested gradient to the optimizer (any of the
         ``calc_grad*`` tasks)."""
+        if self.backend == "native":
+            self._native.gradient[:] = np.asarray(
+                gradient, self._native.dtype).reshape(-1)
+            return
         gradient = jnp.asarray(gradient, self.dtype).reshape(-1)
         self._gradient = gradient
 
     # -- protocol ----------------------------------------------------------
     def _initialize(self, x) -> None:
+        if self.backend == "native":
+            self._native = self._make_native()
+            self._native.start(np.asarray(x, self.dtype).reshape(-1))
+            self._n = self._native.x.shape[0]
+            return
         x = jnp.asarray(x, self.dtype).reshape(-1)
         self._n = x.shape[0]
         self.state = self._init_fn(x, self._cfg)
@@ -84,32 +106,49 @@ class _StochQNFree:
     def run_optimizer(self, x, step_size) -> dict:
         """Advance the optimizer until its next external request.
 
-        ``x`` is consumed on the first call; afterwards the device-resident
-        state is authoritative and, when ``x`` is a numpy array, the new
-        iterate is written back into it in place (matching the reference's
-        in-place mutation contract, ``stochqn/_optimizers.py:997-999``).
+        ``x`` is consumed on the first call; afterwards the internal state
+        is authoritative and, when ``x`` is a numpy array, the new iterate
+        is written back into it in place (matching the reference's in-place
+        mutation contract, ``stochqn/_optimizers.py:997-999``).
         """
-        if self.state is None:
+        if self.state is None and self._native is None:
             self._initialize(x)
 
-        new_state, res = self._advance_jit(
-            self._cfg, self.state, self._gradient, *self._extra_inputs(),
-            jnp.asarray(step_size, self.dtype))
-        self.state = new_state
+        if self.backend == "native":
+            task_i, info_i, changed, req_out, req_vec_out = \
+                self._native.run(float(step_size))
+            task = Task(task_i)
+            info = Info(info_i)
+            niter = self._native.niter
+            if isinstance(x, np.ndarray) and x.size == self._n:
+                np.copyto(x.reshape(-1), self._native.x.astype(x.dtype))
+            if task == Task.CALC_HESS_VEC:
+                requested_on = (req_out.copy(), req_vec_out.copy())
+            else:
+                requested_on = req_out.copy()
+        else:
+            new_state, res = self._advance_jit(
+                self._cfg, self.state, self._gradient, *self._extra_inputs(),
+                jnp.asarray(step_size, self.dtype))
+            self.state = new_state
 
-        task = Task(int(res.task))
-        info = Info(int(res.info))
-        section = int(new_state.section)
+            task = Task(int(res.task))
+            info = Info(int(res.info))
+            changed = bool(res.x_changed)
+            niter = int(new_state.niter)
+            section = int(new_state.section)
 
-        if isinstance(x, np.ndarray) and x.size == self._n:
-            np.copyto(x.reshape(-1), np.asarray(self.state.x, dtype=x.dtype))
+            if isinstance(x, np.ndarray) and x.size == self._n:
+                np.copyto(x.reshape(-1),
+                          np.asarray(self.state.x, dtype=x.dtype))
+            requested_on = self._requested_on(task, section)
 
         return {
             "task": TASK_NAMES[task],
-            "requested_on": self._requested_on(task, section),
+            "requested_on": requested_on,
             "info": {
-                "x_changed_in_run": bool(res.x_changed),
-                "iteration_number": int(new_state.niter),
+                "x_changed_in_run": bool(changed),
+                "iteration_number": niter,
                 "iteration_info": INFO_NAMES[info],
             },
         }
@@ -121,6 +160,8 @@ class _StochQNFree:
 
     @property
     def niter(self) -> int:
+        if self.backend == "native":
+            return 0 if self._native is None else self._native.niter
         return 0 if self.state is None else int(self.state.niter)
 
     def _requested_on(self, task: Task, section: int):
@@ -141,14 +182,22 @@ class oLBFGS_free(_StochQNFree):
 
     def __init__(self, mem_size=10, hess_init=None, min_curvature=1e-4,
                  y_reg=None, check_nan=True, nthreads=-1, use_float=False,
-                 dtype=None):
-        super().__init__()
-        del nthreads  # parallelism is XLA's job here
+                 dtype=None, backend="jax"):
+        super().__init__(backend)
+        del nthreads  # parallelism is XLA's (or the compiler's) job here
         self.dtype = _resolve_dtype(use_float, dtype)
         self._cfg = OLBFGSConfig.create(
             mem_size=mem_size, hess_init=hess_init,
             min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan)
-        self._advance_jit = jax.jit(olbfgs.advance, static_argnums=0)
+        if backend == "jax":
+            self._advance_jit = jax.jit(olbfgs.advance, static_argnums=0)
+
+    def _make_native(self):
+        from stochqn_tpu.native_backend import NativeOLBFGS
+        c = self._cfg
+        return NativeOLBFGS(mem_size=c.mem_size, hess_init=c.hess_init,
+                            min_curvature=c.min_curvature, y_reg=c.y_reg,
+                            check_nan=c.check_nan, dtype=self.dtype)
 
     def _requested_on(self, task: Task, section: int):
         return np.asarray(self.state.x)
@@ -168,16 +217,25 @@ class SQN_free(_StochQNFree):
 
     def __init__(self, mem_size=10, bfgs_upd_freq=20, min_curvature=1e-4,
                  y_reg=None, use_grad_diff=False, check_nan=True, nthreads=-1,
-                 use_float=False, dtype=None):
-        super().__init__()
+                 use_float=False, dtype=None, backend="jax"):
+        super().__init__(backend)
         del nthreads
         self.dtype = _resolve_dtype(use_float, dtype)
         self._cfg = SQNConfig.create(
             mem_size=mem_size, bfgs_upd_freq=bfgs_upd_freq,
             min_curvature=min_curvature, y_reg=y_reg,
             use_grad_diff=use_grad_diff, check_nan=check_nan)
-        self._advance_jit = jax.jit(sqn.advance, static_argnums=0)
+        if backend == "jax":
+            self._advance_jit = jax.jit(sqn.advance, static_argnums=0)
         self._hess_vec = None
+
+    def _make_native(self):
+        from stochqn_tpu.native_backend import NativeSQN
+        c = self._cfg
+        return NativeSQN(mem_size=c.mem_size, upd_freq=c.upd_freq,
+                         min_curvature=c.min_curvature, y_reg=c.y_reg,
+                         use_grad_diff=c.use_grad_diff,
+                         check_nan=c.check_nan, dtype=self.dtype)
 
     @property
     def bfgs_upd_freq(self) -> int:
@@ -194,6 +252,10 @@ class SQN_free(_StochQNFree):
     def update_hess_vec(self, hess_vec) -> None:
         """Pass the requested Hessian-vector product (task
         ``calc_hess_vec``)."""
+        if self.backend == "native":
+            self._native.hess_vec[:] = np.asarray(
+                hess_vec, self._native.dtype).reshape(-1)
+            return
         self._hess_vec = jnp.asarray(hess_vec, self.dtype).reshape(-1)
 
     def _extra_inputs(self) -> Tuple:
@@ -225,8 +287,8 @@ class adaQN_free(_StochQNFree):
                  max_incr=1.01, min_curvature=1e-4, scal_reg=1e-4,
                  rmsprop_weight=None, y_reg=None, use_grad_diff=False,
                  check_nan=True, nthreads=-1, use_float=False, dtype=None,
-                 h0_exact_reference=True):
-        super().__init__()
+                 h0_exact_reference=True, backend="jax"):
+        super().__init__(backend)
         del nthreads
         self.dtype = _resolve_dtype(use_float, dtype)
         self._cfg = AdaQNConfig.create(
@@ -236,8 +298,20 @@ class adaQN_free(_StochQNFree):
             rmsprop_weight=rmsprop_weight, y_reg=y_reg,
             use_grad_diff=use_grad_diff, check_nan=check_nan,
             h0_exact_reference=h0_exact_reference)
-        self._advance_jit = jax.jit(adaqn.advance, static_argnums=0)
+        if backend == "jax":
+            self._advance_jit = jax.jit(adaqn.advance, static_argnums=0)
         self._f = None
+
+    def _make_native(self):
+        from stochqn_tpu.native_backend import NativeAdaQN
+        c = self._cfg
+        return NativeAdaQN(
+            mem_size=c.mem_size, fisher_size=c.fisher_size,
+            upd_freq=c.upd_freq, max_incr=c.max_incr,
+            min_curvature=c.min_curvature, scal_reg=c.scal_reg,
+            rmsprop_weight=c.rmsprop_weight, y_reg=c.y_reg,
+            use_grad_diff=c.use_grad_diff, check_nan=c.check_nan,
+            h0_exact_reference=c.h0_exact_reference, dtype=self.dtype)
 
     @property
     def bfgs_upd_freq(self) -> int:
@@ -257,6 +331,9 @@ class adaQN_free(_StochQNFree):
 
     def update_function(self, fun) -> None:
         """Pass the requested function value (task ``calc_fun_val_batch``)."""
+        if self.backend == "native":
+            self._native.f = float(fun)
+            return
         self._f = jnp.asarray(fun, self.dtype)
 
     def _extra_inputs(self) -> Tuple:

@@ -350,11 +350,13 @@ class oLBFGS(_GuidedBase):
                  valset_frac=None, tol=1e-1, callback_epoch=None,
                  callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
                  hess_init=None, min_curvature=1e-4, y_reg=None,
-                 check_nan=True, nthreads=-1, use_float=False, dtype=None):
+                 check_nan=True, nthreads=-1, use_float=False, dtype=None,
+                 backend="jax"):
         self.optimizer = oLBFGS_free(
             mem_size=mem_size, hess_init=hess_init,
             min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan,
-            nthreads=nthreads, use_float=use_float, dtype=dtype)
+            nthreads=nthreads, use_float=use_float, dtype=dtype,
+            backend=backend)
         self._setup_common(x0, grad_fun, obj_fun, pred_fun, None,
                            batches_per_epoch, step_size, decr_step_size,
                            shuffle_data, random_state, nepochs, valset_frac,
@@ -374,7 +376,7 @@ class SQN(_GuidedBase):
                  callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
                  bfgs_upd_freq=20, min_curvature=1e-4, y_reg=None,
                  use_grad_diff=False, check_nan=True, nthreads=-1,
-                 use_float=False, dtype=None):
+                 use_float=False, dtype=None, backend="jax"):
         if not use_grad_diff and hess_vec_fun is None:
             raise ValueError("Without 'use_grad_diff', must provide "
                              "'hess_vec_fun'.")
@@ -385,7 +387,8 @@ class SQN(_GuidedBase):
             mem_size=mem_size, bfgs_upd_freq=bfgs_upd_freq,
             min_curvature=min_curvature, y_reg=y_reg,
             use_grad_diff=use_grad_diff, check_nan=check_nan,
-            nthreads=nthreads, use_float=use_float, dtype=dtype)
+            nthreads=nthreads, use_float=use_float, dtype=dtype,
+            backend=backend)
         self._setup_common(x0, grad_fun, obj_fun, pred_fun, hess_vec_fun,
                            batches_per_epoch, step_size, decr_step_size,
                            shuffle_data, random_state, nepochs, valset_frac,
@@ -410,7 +413,7 @@ class adaQN(_GuidedBase):
                  min_curvature=1e-4, y_reg=None, scal_reg=1e-4,
                  rmsprop_weight=None, use_grad_diff=False, check_nan=True,
                  nthreads=-1, use_float=False, dtype=None,
-                 h0_exact_reference=True):
+                 h0_exact_reference=True, backend="jax"):
         if max_incr is not None and obj_fun is None:
             raise ValueError("Must provide 'obj_fun' when passing 'max_incr'.")
         if use_grad_diff and fisher_size is not None:
@@ -422,7 +425,7 @@ class adaQN(_GuidedBase):
             rmsprop_weight=rmsprop_weight, y_reg=y_reg,
             use_grad_diff=use_grad_diff, check_nan=check_nan,
             nthreads=nthreads, use_float=use_float, dtype=dtype,
-            h0_exact_reference=h0_exact_reference)
+            h0_exact_reference=h0_exact_reference, backend=backend)
         self._setup_common(x0, grad_fun, obj_fun, pred_fun, None,
                            batches_per_epoch, step_size, decr_step_size,
                            shuffle_data, random_state, nepochs, valset_frac,

@@ -1,0 +1,127 @@
+"""Native C++ backend: trajectory parity with the NumPy oracle / JAX path."""
+import shutil
+
+import numpy as np
+import pytest
+
+from stochqn_tpu.free import SQN_free, adaQN_free, oLBFGS_free
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ compiler")
+
+from stochqn_tpu.native_backend import native_available  # noqa: E402
+
+if not native_available():  # pragma: no cover
+    pytestmark = pytest.mark.skip(reason="native library failed to build")
+
+
+def _quad(rng, n, nb=16):
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    a = q @ np.diag(rng.uniform(0.5, 4.0, n)) @ q.T
+    centers = rng.standard_normal((nb, n))
+    return a, centers
+
+
+def _drive_pair(opt_a, opt_b, a, centers, x0, nsteps, step=0.05):
+    """Run two free-mode optimizers in lockstep on the same problem."""
+    xa, xb = x0.copy(), x0.copy()
+    ra = opt_a.run_optimizer(xa, step)
+    rb = opt_b.run_optimizer(xb, step)
+    b = 0
+    cmean = centers.mean(axis=0)
+    for it in range(nsteps):
+        assert ra["task"] == rb["task"], f"step {it}"
+        assert (ra["info"]["iteration_info"]
+                == rb["info"]["iteration_info"]), f"step {it}"
+        np.testing.assert_allclose(xa, xb, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"step {it}")
+        task = ra["task"]
+        for opt, r in ((opt_a, ra), (opt_b, rb)):
+            if task in ("calc_grad", "calc_grad_same_batch"):
+                opt.update_gradient(
+                    a @ (np.asarray(r["requested_on"]) - centers[b % 16]))
+            elif task == "calc_grad_big_batch":
+                opt.update_gradient(
+                    a @ (np.asarray(r["requested_on"]) - cmean))
+            elif task == "calc_hess_vec":
+                opt.update_hess_vec(a @ np.asarray(r["requested_on"][1]))
+            elif task == "calc_fun_val_batch":
+                d = np.asarray(r["requested_on"]) - cmean
+                opt.update_function(0.5 * d @ a @ d)
+        if task == "calc_grad":
+            b += 1
+        ra = opt_a.run_optimizer(xa, step)
+        rb = opt_b.run_optimizer(xb, step)
+
+
+def test_native_olbfgs_matches_jax(rng):
+    n = 10
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n)
+    _drive_pair(oLBFGS_free(mem_size=5, backend="native"),
+                oLBFGS_free(mem_size=5),
+                a, centers, x0, nsteps=120)
+
+
+def test_native_sqn_matches_jax(rng):
+    n = 10
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n)
+    _drive_pair(SQN_free(mem_size=4, bfgs_upd_freq=5, backend="native"),
+                SQN_free(mem_size=4, bfgs_upd_freq=5),
+                a, centers, x0, nsteps=140)
+
+
+def test_native_sqn_grad_diff_matches_jax(rng):
+    n = 9
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n)
+    _drive_pair(
+        SQN_free(mem_size=4, bfgs_upd_freq=5, use_grad_diff=True,
+                 backend="native"),
+        SQN_free(mem_size=4, bfgs_upd_freq=5, use_grad_diff=True),
+        a, centers, x0, nsteps=140)
+
+
+def test_native_adaqn_matches_jax(rng):
+    n = 10
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n)
+    _drive_pair(
+        adaQN_free(mem_size=4, fisher_size=12, bfgs_upd_freq=5,
+                   max_incr=1.01, backend="native"),
+        adaQN_free(mem_size=4, fisher_size=12, bfgs_upd_freq=5,
+                   max_incr=1.01),
+        a, centers, x0, nsteps=150)
+
+
+def test_native_float32(rng):
+    n = 8
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n).astype(np.float32)
+    opt = oLBFGS_free(mem_size=4, use_float=True, backend="native")
+    x = x0.copy()
+    req = opt.run_optimizer(x, 0.05)
+    for _ in range(40):
+        opt.update_gradient(
+            (a @ (np.asarray(req["requested_on"]) - centers[0])).astype(
+                np.float32))
+        req = opt.run_optimizer(x, 0.05)
+    assert opt.niter == 20
+    assert np.all(np.isfinite(x))
+
+
+def test_native_cpp_example_builds_and_converges(tmp_path):
+    """Compile and run the C++ Rosenbrock example (native/examples)."""
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = tmp_path / "rosen"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17",
+         f"-I{repo}/native/include",
+         f"{repo}/native/examples/rosen.cpp", "-o", str(exe)],
+        check=True, capture_output=True)
+    out = subprocess.run([str(exe)], capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "CONVERGED" in out.stdout
