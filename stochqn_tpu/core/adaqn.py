@@ -99,7 +99,7 @@ def advance(cfg: AdaQNConfig, state: AdaQNState, grad: jax.Array,
         else:
             h0_diag = jax.lax.rsqrt(acc + jnp.asarray(cfg.scal_reg, acc.dtype))
         d_mem = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
-                         diag=h0_diag)
+                         diag=h0_diag, gram=st.mem.gram)
         d = jnp.where(st.mem.count > 0, d_mem, rescaled)
 
         if cfg.check_nan:

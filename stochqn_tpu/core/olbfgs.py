@@ -50,7 +50,7 @@ def advance(cfg: OLBFGSConfig, state: OLBFGSState, grad: jax.Array,
 
     def sec1(st: OLBFGSState):
         d = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
-                     h0=cfg.hess_init)
+                     h0=cfg.hess_init, gram=st.mem.gram)
         if cfg.check_nan:
             bad = direction_is_bad(d)
         else:

@@ -58,7 +58,8 @@ def advance(cfg: SQNConfig, state: SQNState, grad: jax.Array,
         return _resume(st, Info.NO_PROBLEMS_ENCOUNTERED, False)
 
     def sec1(st: SQNState):
-        d = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count)
+        d = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
+                     gram=st.mem.gram)
         if cfg.check_nan:
             bad = direction_is_bad(d)
         else:

@@ -37,19 +37,30 @@ class BFGSMemory:
     curvature test.  The reference writes the candidate straight into the ring
     slot (``src/stochqn.c:861-870,1005-1007``); keeping it separate makes
     accept/reject a pure functional choice.
+
+    ``gram`` caches ``W W^T`` for ``W = [s; y]`` (``[2m, 2m]``, storage
+    order), maintained incrementally on every accepted pair (one
+    ``[2m, n] @ [n, 2]`` matmul per insert).  This removes the per-step Gram
+    recomputation from the compact two-loop, bringing it to the minimum two
+    streaming passes over the pair memory per step (project ``W g`` +
+    expand ``W^T u``).  Entries touching dead/stale rows are garbage but are
+    fully masked by ``count`` inside the two-loop.
     """
 
     s: jax.Array          # [mem_size, n]
     y: jax.Array          # [mem_size, n]
+    gram: jax.Array       # [2*mem_size, 2*mem_size] cached W W^T
     s_pending: jax.Array  # [n]
     head: jax.Array       # int32 scalar: next slot to write
     count: jax.Array      # int32 scalar: number of live pairs
 
     @classmethod
     def create(cls, mem_size: int, n: int, dtype=jnp.float32) -> "BFGSMemory":
+        gram_t = jnp.promote_types(dtype, jnp.float32)
         return cls(
             s=jnp.zeros((mem_size, n), dtype=dtype),
             y=jnp.zeros((mem_size, n), dtype=dtype),
+            gram=jnp.zeros((2 * mem_size, 2 * mem_size), dtype=gram_t),
             s_pending=jnp.zeros((n,), dtype=dtype),
             head=jnp.zeros((), dtype=jnp.int32),
             count=jnp.zeros((), dtype=jnp.int32),

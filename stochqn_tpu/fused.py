@@ -72,7 +72,7 @@ def olbfgs_step(cfg: OLBFGSConfig, grad_fn: GradFn, state: OLBFGSState,
     step_size = jnp.asarray(step_size, state.x.dtype)
     g = grad_fn(state.x, batch)
     d = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
-                 state.mem.count, h0=cfg.hess_init)
+                 state.mem.count, h0=cfg.hess_init, gram=state.mem.gram)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
 
     s_cand = -step_size * d
@@ -105,7 +105,8 @@ def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
     inv_l = jnp.asarray(1.0 / L, state.x.dtype)
 
     g = grad_fn(state.x, batch)
-    d = two_loop(g, state.mem.s, state.mem.y, state.mem.head, state.mem.count)
+    d = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
+                 state.mem.count, gram=state.mem.gram)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
     x_new = jnp.where(bad, state.x, state.x - step_size * d)
     mem = select(bad, state.mem.flush(), state.mem)
@@ -182,7 +183,7 @@ def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
         h0_diag = jax.lax.rsqrt(acc_sq + jnp.asarray(cfg.scal_reg,
                                                      acc_sq.dtype))
     d_mem = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
-                     state.mem.count, diag=h0_diag)
+                     state.mem.count, diag=h0_diag, gram=state.mem.gram)
     d = jnp.where(state.mem.count > 0, d_mem, rescaled)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
 

@@ -58,9 +58,27 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     size = mem.mem_size
     new_s = jax.lax.dynamic_update_index_in_dim(mem.s, s, mem.head, axis=0)
     new_y = jax.lax.dynamic_update_index_in_dim(mem.y, y_cand, mem.head, axis=0)
+
+    # Incremental Gram update: one [2m, n] @ [n, 2] pass refreshes the row
+    # and column of W W^T touched by the new pair.
+    gram_t = mem.gram.dtype
+    w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
+    p = jnp.matmul(w_new, jnp.stack([s, y_cand], axis=1),
+                   preferred_element_type=gram_t)            # [2m, 2]
+    gram = mem.gram
+    gram = jax.lax.dynamic_update_index_in_dim(
+        gram, p[:, 0].astype(gram_t), mem.head, axis=1)
+    gram = jax.lax.dynamic_update_index_in_dim(
+        gram, p[:, 1].astype(gram_t), size + mem.head, axis=1)
+    gram = jax.lax.dynamic_update_index_in_dim(
+        gram, p[:, 0].astype(gram_t), mem.head, axis=0)
+    gram = jax.lax.dynamic_update_index_in_dim(
+        gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
+
     committed = mem.replace(
         s=new_s,
         y=new_y,
+        gram=gram,
         head=(mem.head + 1) % size,
         count=jnp.minimum(mem.count + 1, size),
     )

@@ -63,6 +63,7 @@ def two_loop(
     *,
     h0: float = 0.0,
     diag: Optional[jax.Array] = None,
+    gram: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Approximate ``H^{-1} grad`` from the stored correction pairs.
 
@@ -77,6 +78,10 @@ def two_loop(
         ``src/stochqn.c:683-689``).  Ignored when ``diag`` is given.
       diag: optional ``[n]`` elementwise H0 diagonal (adaQN,
         ``src/stochqn.c:695``).
+      gram: optional cached ``[2m, 2m]`` Gram matrix ``W W^T`` in storage
+        order (see :class:`stochqn_tpu.core.state.BFGSMemory`); when given,
+        the per-step Gram matmul is skipped — one fewer streaming pass over
+        the pair memory.
 
     Returns:
       ``[n]`` search direction ``d ~= H^{-1} g`` (positive direction; the
@@ -95,7 +100,10 @@ def two_loop(
 
     w = jnp.concatenate([s_mem, y_mem], axis=0)            # [2m, n]
     wg = jnp.matmul(w, grad, preferred_element_type=acc_t)  # [2m]
-    gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)  # [2m, 2m]
+    if gram is None:
+        gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)  # [2m, 2m]
+    else:
+        gram = gram.astype(acc_t)
 
     # Chronologically ordered small quantities.
     sg = wg[:m][perm]

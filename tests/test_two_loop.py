@@ -125,6 +125,32 @@ def test_two_loop_equals_dense_inverse_hessian(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
 
 
+def test_cached_gram_matches_recompute(rng):
+    """two_loop with a supplied Gram must equal the recompute path, and
+    commit_pair must maintain the Gram consistently through ring wrap."""
+    import jax.numpy as jnp
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+
+    n, m = 24, 4
+    mem = BFGSMemory.create(m, n, jnp.float64)
+    for k in range(7):   # wraps the ring
+        s = jnp.asarray(rng.standard_normal(n))
+        y = s + 0.25 * jnp.asarray(rng.standard_normal(n))
+        mem = mem.replace(s_pending=s)
+        mem, acc = commit_pair(mem, y, min_curvature=1e-8, y_reg=0.0)
+        assert bool(acc)
+    w = jnp.concatenate([mem.s, mem.y], axis=0)
+    np.testing.assert_allclose(np.asarray(mem.gram), np.asarray(w @ w.T),
+                               rtol=1e-12)
+    g = jnp.asarray(rng.standard_normal(n))
+    with_gram = two_loop(g, mem.s, mem.y, mem.head, mem.count,
+                         gram=mem.gram)
+    without = two_loop(g, mem.s, mem.y, mem.head, mem.count)
+    np.testing.assert_allclose(np.asarray(with_gram), np.asarray(without),
+                               rtol=1e-12)
+
+
 def test_stale_rows_are_masked(rng):
     """Rows beyond `count` may hold stale (nonzero) data after a flush and
     must not affect the result."""
