@@ -64,6 +64,8 @@ def two_loop(
     h0: float = 0.0,
     diag: Optional[jax.Array] = None,
     gram: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> jax.Array:
     """Approximate ``H^{-1} grad`` from the stored correction pairs.
 
@@ -82,6 +84,12 @@ def two_loop(
         order (see :class:`stochqn_tpu.core.state.BFGSMemory`); when given,
         the per-step Gram matmul is skipped — one fewer streaming pass over
         the pair memory.
+      use_pallas: fuse the projection phase into a single Pallas kernel
+        pass (``ops/pallas/two_loop_kernel``): ``W g + W W^T`` when the
+        Gram isn't cached, or ``W g + (Y*diag) g + (Y*diag) Y^T`` for the
+        adaQN diagonal path.  float32 only; silently falls back to the XLA
+        path otherwise.
+      pallas_interpret: run the kernels in interpreter mode (CPU tests).
 
     Returns:
       ``[n]`` search direction ``d ~= H^{-1} g`` (positive direction; the
@@ -98,12 +106,35 @@ def two_loop(
     valid = (cidx < count)
     validf = valid.astype(acc_t)
 
-    w = jnp.concatenate([s_mem, y_mem], axis=0)            # [2m, n]
-    wg = jnp.matmul(w, grad, preferred_element_type=acc_t)  # [2m]
-    if gram is None:
-        gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)  # [2m, 2m]
+    pallas_ok = use_pallas and dtype == jnp.float32
+    yd_g_st = ydy_st = None
+    if pallas_ok:
+        from stochqn_tpu.ops.pallas import two_loop_kernel as tlk
+        if diag is not None:
+            wg, yd_g_st, ydy_st = tlk.project_adaqn(
+                s_mem, y_mem, diag, grad, interpret=pallas_interpret)
+            wg = wg.astype(acc_t)
+            if gram is None:
+                w = jnp.concatenate([s_mem, y_mem], axis=0)
+                gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)
+            else:
+                gram = gram.astype(acc_t)
+        elif gram is None:
+            wg, gram = tlk.project(s_mem, y_mem, grad,
+                                   interpret=pallas_interpret)
+            wg = wg.astype(acc_t)
+            gram = gram.astype(acc_t)
+        else:
+            w = jnp.concatenate([s_mem, y_mem], axis=0)
+            wg = jnp.matmul(w, grad, preferred_element_type=acc_t)
+            gram = gram.astype(acc_t)
     else:
-        gram = gram.astype(acc_t)
+        w = jnp.concatenate([s_mem, y_mem], axis=0)            # [2m, n]
+        wg = jnp.matmul(w, grad, preferred_element_type=acc_t)  # [2m]
+        if gram is None:
+            gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)
+        else:
+            gram = gram.astype(acc_t)
 
     # Chronologically ordered small quantities.
     sg = wg[:m][perm]
@@ -138,9 +169,12 @@ def two_loop(
         # Y r0 = gamma * (Y g - Y Y^T alpha), all chronological.
         y_r0 = gamma * (yg - jnp.matmul(yy, alpha, preferred_element_type=acc_t))
     else:
-        yd = y_mem * diag[None, :].astype(dtype)
-        yd_g = jnp.matmul(yd, grad, preferred_element_type=acc_t)[perm]
-        ydy = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t)[perm][:, perm]
+        if yd_g_st is None:
+            yd = y_mem * diag[None, :].astype(dtype)
+            yd_g_st = jnp.matmul(yd, grad, preferred_element_type=acc_t)
+            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t)
+        yd_g = yd_g_st.astype(acc_t)[perm]
+        ydy = ydy_st.astype(acc_t)[perm][:, perm]
         y_r0 = yd_g - jnp.matmul(ydy, alpha, preferred_element_type=acc_t)
 
     # Forward pass: unit-lower-triangular solve for beta.

@@ -1,0 +1,56 @@
+"""Pallas projection kernels (interpreter mode on CPU) vs XLA reference."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from stochqn_tpu.ops.pallas.two_loop_kernel import project, project_adaqn
+from stochqn_tpu.ops.two_loop import two_loop
+
+
+def _mem(rng, m, n):
+    s = rng.standard_normal((m, n)).astype(np.float32)
+    y = (s + 0.3 * rng.standard_normal((m, n))).astype(np.float32)
+    return jnp.asarray(s), jnp.asarray(y)
+
+
+@pytest.mark.parametrize("n", [1000, 2048])  # non-multiple + multiple of tile
+def test_project_matches_xla(rng, n):
+    m = 5
+    s, y = _mem(rng, m, n)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    wg, gram = project(s, y, g, tile_n=512, interpret=True)
+    w = jnp.concatenate([s, y], axis=0)
+    np.testing.assert_allclose(np.asarray(wg), np.asarray(w @ g),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gram), np.asarray(w @ w.T),
+                               rtol=2e-5, atol=1e-4)
+
+
+def test_project_adaqn_matches_xla(rng):
+    m, n = 4, 1500
+    s, y = _mem(rng, m, n)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    d = jnp.asarray(rng.uniform(0.1, 2.0, n).astype(np.float32))
+    wg, ydg, ydy = project_adaqn(s, y, d, g, tile_n=512, interpret=True)
+    w = jnp.concatenate([s, y], axis=0)
+    yd = y * d
+    np.testing.assert_allclose(np.asarray(wg), np.asarray(w @ g),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ydg), np.asarray(yd @ g),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ydy), np.asarray(yd @ y.T),
+                               rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_diag", [False, True])
+def test_two_loop_pallas_path_matches_xla(rng, with_diag):
+    m, n, count = 4, 700, 4
+    s, y = _mem(rng, m, n)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    diag = (jnp.asarray(rng.uniform(0.1, 2.0, n).astype(np.float32))
+            if with_diag else None)
+    ref = two_loop(g, s, y, 2, count, diag=diag)
+    got = two_loop(g, s, y, 2, count, diag=diag, use_pallas=True,
+                   pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=1e-4)
