@@ -19,9 +19,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: process startup and XLA compiles are very
-# slow on this sandbox; cache aggressively.
+# slow on this sandbox; cache aggressively.  NOTE: must be a cache dir
+# separate from TPU-connected runs — those write CPU AOT entries compiled
+# for the *remote* tunnel host's CPU features, which mis-execute here.
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
+                  os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
