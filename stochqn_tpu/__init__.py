@@ -15,6 +15,8 @@ from stochqn_tpu.free import SQN_free, adaQN_free, oLBFGS_free
 
 # Guided (scikit-learn-like) layer and models are imported lazily-ish here;
 # they only depend on numpy/jax.
+from stochqn_tpu.api import MinimizeResult, minimize
+from stochqn_tpu.fused import FusedTrainer, batchify
 from stochqn_tpu.guided import SQN, adaQN, oLBFGS
 from stochqn_tpu.models.logistic import StochasticLogisticRegression
 
@@ -26,5 +28,7 @@ __all__ = [
     "OLBFGSState", "SQNState", "AdaQNState",
     "oLBFGS_free", "SQN_free", "adaQN_free",
     "oLBFGS", "SQN", "adaQN",
+    "FusedTrainer", "batchify",
+    "minimize", "MinimizeResult",
     "StochasticLogisticRegression",
 ]

@@ -1,0 +1,45 @@
+"""Multi-host initialization and mesh construction.
+
+The reference is single-process (its only parallelism is OpenMP threads).
+Scaling here is mesh-native: on a multi-host TPU pod slice, call
+:func:`initialize` once per process, then build a global mesh spanning all
+hosts.  All collectives ride XLA (psum over ICI within a slice, DCN across
+slices) — no custom transport, mirroring the SURVEY §2 mapping.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from stochqn_tpu.parallel.mesh import make_mesh
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime (no-op on single process).
+
+    On Cloud TPU the arguments are auto-detected; elsewhere pass the
+    coordinator explicitly.  Must be called before any jax operation.
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh(n_param: int = 1):
+    """Mesh over every addressable device across all processes, with the
+    ``data`` axis spanning hosts (pure-DP default) and an optional
+    ``param`` axis for large-n sharding."""
+    return make_mesh(n_param=n_param, devices=jax.devices())
+
+
+def process_local_batch_slice(global_batch_size: int) -> slice:
+    """Row slice of the global batch this process should load — equal
+    shards per process, reference-free streaming ingestion."""
+    per = global_batch_size // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
