@@ -37,7 +37,7 @@ from stochqn_tpu.models import losses
 N_FEATURES = 1836
 N_CLASSES = 159
 BATCH_SIZE = 50
-NUM_BATCHES = 133          # 6655 train rows / 50
+NUM_BATCHES = 120          # 6000 of the 6655 train rows (aligned to upd_freq)
 UPD_FREQ = 20
 REG = 1e-1
 STEP = 1e-2

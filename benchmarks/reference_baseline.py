@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_FEATURES = 1836
 N_CLASSES = 159
 BATCH_SIZE = 50
-NUM_BATCHES = 133
+NUM_BATCHES = 120
 UPD_FREQ = 20
 REG = 1e-1
 STEP = 1e-2

@@ -47,7 +47,7 @@ from stochqn_tpu.core.protocol import AdvanceResult, result, select
 from stochqn_tpu.core.state import AdaQNState
 from stochqn_tpu.ops.accumulators import diag_rescal
 from stochqn_tpu.ops.pairs import commit_pair, direction_is_bad, fisher_y
-from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: AdaQNConfig) -> AdaQNState:
@@ -98,8 +98,7 @@ def advance(cfg: AdaQNConfig, state: AdaQNState, grad: jax.Array,
             h0_diag = rescaled
         else:
             h0_diag = jax.lax.rsqrt(acc + jnp.asarray(cfg.scal_reg, acc.dtype))
-        d_mem = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
-                         diag=h0_diag, gram=st.mem.gram)
+        d_mem = two_loop_cached(grad, st.mem, diag=h0_diag)
         d = jnp.where(st.mem.count > 0, d_mem, rescaled)
 
         if cfg.check_nan:

@@ -31,7 +31,7 @@ from stochqn_tpu.core.enums import Info, Task
 from stochqn_tpu.core.protocol import AdvanceResult, result, select
 from stochqn_tpu.core.state import OLBFGSState
 from stochqn_tpu.ops.pairs import commit_pair, direction_is_bad
-from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: OLBFGSConfig) -> OLBFGSState:
@@ -49,8 +49,7 @@ def advance(cfg: OLBFGSConfig, state: OLBFGSState, grad: jax.Array,
                 result(Task.CALC_GRAD, Info.NO_PROBLEMS_ENCOUNTERED, False))
 
     def sec1(st: OLBFGSState):
-        d = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
-                     h0=cfg.hess_init, gram=st.mem.gram)
+        d = two_loop_cached(grad, st.mem, h0=cfg.hess_init)
         if cfg.check_nan:
             bad = direction_is_bad(d)
         else:

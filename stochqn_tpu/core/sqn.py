@@ -34,7 +34,7 @@ from stochqn_tpu.core.enums import Info, Task
 from stochqn_tpu.core.protocol import AdvanceResult, result, select
 from stochqn_tpu.core.state import SQNState
 from stochqn_tpu.ops.pairs import commit_pair, direction_is_bad
-from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: SQNConfig) -> SQNState:
@@ -58,8 +58,7 @@ def advance(cfg: SQNConfig, state: SQNState, grad: jax.Array,
         return _resume(st, Info.NO_PROBLEMS_ENCOUNTERED, False)
 
     def sec1(st: SQNState):
-        d = two_loop(grad, st.mem.s, st.mem.y, st.mem.head, st.mem.count,
-                     gram=st.mem.gram)
+        d = two_loop_cached(grad, st.mem)
         if cfg.check_nan:
             bad = direction_is_bad(d)
         else:

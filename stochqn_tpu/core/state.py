@@ -45,6 +45,15 @@ class BFGSMemory:
     streaming passes over the pair memory per step (project ``W g`` +
     expand ``W^T u``).  Entries touching dead/stale rows are garbage but are
     fully masked by ``count`` inside the two-loop.
+
+    Beyond the Gram, the *entire* small (O(m)/O(m^2)) algebra of the
+    two-loop that is independent of the incoming gradient is precomputed at
+    commit time and carried in the state: the chronological permutation,
+    rho, the inverted backward/forward triangular systems, the
+    chronological ``Y Y^T`` block, the forward coupling matrix, and the
+    default gamma.  A two-loop step then reduces to the two ``[2m, n]``
+    streaming passes plus a handful of ``m``-sized matvecs — important
+    inside ``lax.scan`` where per-op overhead, not FLOPs, dominates.
     """
 
     s: jax.Array          # [mem_size, n]
@@ -53,17 +62,33 @@ class BFGSMemory:
     s_pending: jax.Array  # [n]
     head: jax.Array       # int32 scalar: next slot to write
     count: jax.Array      # int32 scalar: number of live pairs
+    # --- commit-time small-math cache (chronological order) ---
+    perm: jax.Array       # [mem_size] int32: chrono -> storage row
+    rho: jax.Array        # [mem_size] 1/(s.y), masked to 0 when invalid
+    bwd_inv: jax.Array    # [m, m] (I + diag(rho) triu(SY,1))^{-1}
+    fwd_inv: jax.Array    # [m, m] (I + diag(rho) tril(YS,-1))^{-1}
+    yy_c: jax.Array       # [m, m] chronological Y Y^T
+    rl_c: jax.Array       # [m, m] diag(rho) tril(YS,-1)
+    gamma: jax.Array      # scalar: default H0 = (s.y)/(y.y) of latest pair
 
     @classmethod
     def create(cls, mem_size: int, n: int, dtype=jnp.float32) -> "BFGSMemory":
         gram_t = jnp.promote_types(dtype, jnp.float32)
+        m = mem_size
         return cls(
-            s=jnp.zeros((mem_size, n), dtype=dtype),
-            y=jnp.zeros((mem_size, n), dtype=dtype),
-            gram=jnp.zeros((2 * mem_size, 2 * mem_size), dtype=gram_t),
+            s=jnp.zeros((m, n), dtype=dtype),
+            y=jnp.zeros((m, n), dtype=dtype),
+            gram=jnp.zeros((2 * m, 2 * m), dtype=gram_t),
             s_pending=jnp.zeros((n,), dtype=dtype),
             head=jnp.zeros((), dtype=jnp.int32),
             count=jnp.zeros((), dtype=jnp.int32),
+            perm=jnp.arange(m, dtype=jnp.int32),
+            rho=jnp.zeros((m,), dtype=gram_t),
+            bwd_inv=jnp.eye(m, dtype=gram_t),
+            fwd_inv=jnp.eye(m, dtype=gram_t),
+            yy_c=jnp.zeros((m, m), dtype=gram_t),
+            rl_c=jnp.zeros((m, m), dtype=gram_t),
+            gamma=jnp.ones((), dtype=gram_t),
         )
 
     @property

@@ -6,18 +6,27 @@ gradient (``stochqn/_optimizers.py:339-382`` + Cython + C), the user's loss
 / gradient functions are JAX callables and an entire optimizer iteration —
 including two-loop direction, step, averaging, big-batch gradients,
 ``jax.jvp`` Hessian-vector products, Fisher products and all accept/reject
-logic — is traced into a single jitted ``lax.scan`` over the epoch's
-batches.  State stays in HBM; there is zero host synchronization inside an
-epoch.
+logic — is traced into jitted ``lax.scan``s.  State stays in HBM; there is
+zero host synchronization inside an epoch.
+
+Performance structure: when ``batches_per_epoch`` is a multiple of
+``upd_freq`` (the common benchmark setup and the default epoch layout), the
+epoch runs as a scan over *rounds* — an inner scan of ``upd_freq`` cheap
+base steps (gradient + cached two-loop + update: no branches, no big-array
+conds) followed by the boundary work (big-batch gradient / Hessian-vector /
+function-value guard + pair commit) exactly once.  Keeping ``lax.cond`` out
+of the hot loop matters: a cond that carries the ``[m, n]`` pair memories
+forces full-buffer copies every iteration.  A generic per-step path with
+the boundary under ``lax.cond`` remains for non-divisible layouts.
 
 Semantics are protocol-equivalent to the free-mode state machines (tested
 against them), with these documented differences:
 
-  * Big batches are exactly the last ``upd_freq`` minibatches, taken
-    cyclically over the epoch — the reference instead slices a contiguous
-    chunk and falls back to a stored-batch container when misaligned
-    (``stochqn/_optimizers.py:55-79``).  When ``batches_per_epoch`` is a
-    multiple of ``upd_freq`` (the common benchmark setup) the two coincide.
+  * Big batches are exactly the last ``upd_freq`` minibatches (in the
+    round-chunked layout: the round's batches) — the reference slices a
+    contiguous chunk and falls back to a stored-batch container when
+    misaligned (``stochqn/_optimizers.py:55-79``).  When aligned, the two
+    coincide.
   * Epoch shuffling uses ``jax.random.permutation`` on device rather than
     host-side numpy shuffling.
 
@@ -28,7 +37,6 @@ user's gradient function — no hand-written ``hess_vec_fun`` needed
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -37,11 +45,11 @@ import jax.numpy as jnp
 from stochqn_tpu.core import adaqn, olbfgs, sqn
 from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig, SQNConfig
 from stochqn_tpu.core.enums import Info
-from stochqn_tpu.core.protocol import select
 from stochqn_tpu.core.state import AdaQNState, OLBFGSState, SQNState
 from stochqn_tpu.ops.accumulators import diag_rescal
-from stochqn_tpu.ops.pairs import commit_pair, direction_is_bad, fisher_y
-from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.ops.pairs import (commit_pair, conditional_flush,
+                                   direction_is_bad, fisher_y)
+from stochqn_tpu.ops.two_loop import two_loop_cached
 
 Batch = Any  # pytree of arrays with a leading example axis
 GradFn = Callable[[jax.Array, Batch], jax.Array]
@@ -60,6 +68,12 @@ def _info(bad, accepted_or_none=None):
     return info
 
 
+def _flat(batch):
+    """Merge a [k, bs, ...] stack of minibatches into one big batch."""
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((-1,) + a.shape[2:]), batch)
+
+
 # ===========================================================================
 # oLBFGS
 # ===========================================================================
@@ -71,18 +85,17 @@ def olbfgs_step(cfg: OLBFGSConfig, grad_fn: GradFn, state: OLBFGSState,
     (``src/stochqn.c:991-1031``)."""
     step_size = jnp.asarray(step_size, state.x.dtype)
     g = grad_fn(state.x, batch)
-    d = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
-                 state.mem.count, h0=cfg.hess_init, gram=state.mem.gram)
+    d = two_loop_cached(g, state.mem, h0=cfg.hess_init)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
 
     s_cand = -step_size * d
     x_new = jnp.where(bad, state.x, state.x + s_cand)
-    mem = select(bad, state.mem.flush(), state.mem.replace(s_pending=s_cand))
+    mem = conditional_flush(state.mem.replace(s_pending=s_cand), bad)
 
     g2 = grad_fn(x_new, batch)             # same batch, new x
-    mem_committed, accepted = commit_pair(mem, g2 - g, cfg.min_curvature,
-                                          cfg.y_reg)
-    mem_final = select(bad, mem, mem_committed)
+    mem_final, accepted = commit_pair(mem, g2 - g, cfg.min_curvature,
+                                      cfg.y_reg,
+                                      enabled=jnp.logical_not(bad))
 
     state = state.replace(x=x_new, mem=mem_final, grad_prev=g,
                           niter=state.niter + 1,
@@ -93,84 +106,77 @@ def olbfgs_step(cfg: OLBFGSConfig, grad_fn: GradFn, state: OLBFGSState,
 # ===========================================================================
 # SQN
 # ===========================================================================
+def _sqn_base(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
+              batch: Batch, step_size) -> Tuple[SQNState, jax.Array]:
+    """The per-iteration work of ``run_SQN`` section 1 before any
+    ``upd_freq`` boundary (``src/stochqn.c:1050-1073``)."""
+    g = grad_fn(state.x, batch)
+    d = two_loop_cached(g, state.mem)
+    bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
+    x_new = jnp.where(bad, state.x, state.x - step_size * d)
+    mem = conditional_flush(state.mem, bad)
+    state = state.replace(x=x_new, mem=mem, niter=state.niter + 1,
+                          x_sum=state.x_sum + x_new, section=jnp.int32(1))
+    return state, bad
+
+
+def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
+                  big: Batch, bad) -> Tuple[SQNState, jax.Array]:
+    """The every-``upd_freq`` correction-pair work
+    (``src/stochqn.c:1078-1141``).  ``big`` is the already-assembled big
+    batch; must be called exactly when ``niter % upd_freq == 0``."""
+    L = cfg.upd_freq
+    inv_l = jnp.asarray(1.0 / L, state.x.dtype)
+    x_avg = state.x_sum * inv_l
+
+    def first(st: SQNState):
+        st = st.replace(x_avg_prev=x_avg, x_sum=jnp.zeros_like(st.x_sum))
+        if cfg.use_grad_diff:
+            st = st.replace(grad_prev=grad_fn(x_avg, big))
+        return st, _info(bad)
+
+    def later(st: SQNState):
+        s_cand = x_avg - st.x_avg_prev
+        mem_p = st.mem.replace(s_pending=s_cand)
+        if cfg.use_grad_diff:
+            gb = grad_fn(x_avg, big)
+            mem2, acc = commit_pair(mem_p, gb - st.grad_prev,
+                                    cfg.min_curvature, cfg.y_reg)
+            st = st.replace(
+                mem=mem2,
+                grad_prev=jnp.where(acc, gb, st.grad_prev),
+                x_avg_prev=jnp.where(acc, x_avg, st.x_avg_prev),
+                x_sum=jnp.zeros_like(st.x_sum))
+        else:
+            hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,), (s_cand,))[1]
+            mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature, y_reg=0.0)
+            st = st.replace(mem=mem2, x_avg_prev=x_avg,
+                            x_sum=jnp.zeros_like(st.x_sum))
+        return st, _info(bad, acc)
+
+    return jax.lax.cond(state.niter == L, first, later, state)
+
+
 def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
              big_batch_thunk: Callable[[], Batch], step_size
              ) -> Tuple[SQNState, jax.Array]:
-    """One SQN iteration; every ``upd_freq`` steps also builds a correction
-    pair from a big-batch gradient difference or ``jvp`` Hessian-vector
-    product.  Fuses sections 1-4 of ``run_SQN`` (``src/stochqn.c:1050-1141``).
-    """
+    """One SQN iteration with the boundary under ``lax.cond`` — the generic
+    (alignment-free) path.  Prefer the round-chunked epoch layout."""
     step_size = jnp.asarray(step_size, state.x.dtype)
-    L = cfg.upd_freq
-    inv_l = jnp.asarray(1.0 / L, state.x.dtype)
-
-    g = grad_fn(state.x, batch)
-    d = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
-                 state.mem.count, gram=state.mem.gram)
-    bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
-    x_new = jnp.where(bad, state.x, state.x - step_size * d)
-    mem = select(bad, state.mem.flush(), state.mem)
-
-    niter = state.niter + 1
-    state = state.replace(x=x_new, mem=mem, niter=niter,
-                          x_sum=state.x_sum + x_new, section=jnp.int32(1))
-    base_info = _info(bad)
-
-    def boundary(st: SQNState):
-        x_avg = st.x_sum * inv_l
-        big = big_batch_thunk()
-
-        def first(st: SQNState):
-            st = st.replace(x_avg_prev=x_avg,
-                            x_sum=jnp.zeros_like(st.x_sum))
-            if cfg.use_grad_diff:
-                st = st.replace(grad_prev=grad_fn(x_avg, big))
-            return st, base_info
-
-        def later(st: SQNState):
-            s_cand = x_avg - st.x_avg_prev
-            mem_p = st.mem.replace(s_pending=s_cand)
-            if cfg.use_grad_diff:
-                gb = grad_fn(x_avg, big)
-                mem2, acc = commit_pair(mem_p, gb - st.grad_prev,
-                                        cfg.min_curvature, cfg.y_reg)
-                st = st.replace(
-                    mem=mem2,
-                    grad_prev=jnp.where(acc, gb, st.grad_prev),
-                    x_avg_prev=jnp.where(acc, x_avg, st.x_avg_prev),
-                    x_sum=jnp.zeros_like(st.x_sum))
-            else:
-                hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,),
-                             (s_cand,))[1]
-                mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature,
-                                        y_reg=0.0)
-                st = st.replace(mem=mem2, x_avg_prev=x_avg,
-                                x_sum=jnp.zeros_like(st.x_sum))
-            return st, _info(bad, acc)
-
-        return jax.lax.cond(niter == L, first, later, st)
-
-    return jax.lax.cond(jnp.mod(niter, L) == 0, boundary,
-                        lambda st: (st, base_info), state)
+    state, bad = _sqn_base(cfg, grad_fn, state, batch, step_size)
+    return jax.lax.cond(
+        jnp.mod(state.niter, cfg.upd_freq) == 0,
+        lambda st: _sqn_boundary(cfg, grad_fn, st, big_batch_thunk(), bad),
+        lambda st: (st, _info(bad)), state)
 
 
 # ===========================================================================
 # adaQN
 # ===========================================================================
-def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
-               state: AdaQNState, batch: Batch,
-               big_batch_thunk: Callable[[], Batch],
-               fval_batch_thunk: Callable[[], Batch], step_size
-               ) -> Tuple[AdaQNState, jax.Array]:
-    """One adaQN iteration; every ``upd_freq`` steps runs the function-value
-    guard and builds a Fisher / gradient-difference correction pair.  Fuses
-    sections 1-5 of ``run_adaQN`` (``src/stochqn.c:1170-1308``)."""
-    if cfg.max_incr > 0 and obj_fn is None:
-        raise ValueError("adaQN with max_incr needs an objective function")
-    step_size = jnp.asarray(step_size, state.x.dtype)
-    L = cfg.upd_freq
-    inv_l = jnp.asarray(1.0 / L, state.x.dtype)
-
+def _adaqn_base(cfg: AdaQNConfig, grad_fn: GradFn, state: AdaQNState,
+                batch: Batch, step_size) -> Tuple[AdaQNState, jax.Array]:
+    """Per-iteration adaQN work before any boundary
+    (``src/stochqn.c:1170-1197``)."""
     g = grad_fn(state.x, batch)
     if not cfg.use_grad_diff:
         state = state.replace(fisher=state.fisher.append(g))
@@ -182,19 +188,29 @@ def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
     else:
         h0_diag = jax.lax.rsqrt(acc_sq + jnp.asarray(cfg.scal_reg,
                                                      acc_sq.dtype))
-    d_mem = two_loop(g, state.mem.s, state.mem.y, state.mem.head,
-                     state.mem.count, diag=h0_diag, gram=state.mem.gram)
+    d_mem = two_loop_cached(g, state.mem, diag=h0_diag)
     d = jnp.where(state.mem.count > 0, d_mem, rescaled)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
 
     x_new = jnp.where(bad, state.x, state.x - step_size * d)
-    mem = select(bad, state.mem.flush(), state.mem)
-    niter = state.niter + 1
-    state = state.replace(x=x_new, mem=mem, grad_sum_sq=acc_sq, niter=niter,
+    mem = conditional_flush(state.mem, bad)  # Fisher NOT flushed
+    state = state.replace(x=x_new, mem=mem, grad_sum_sq=acc_sq,
+                          niter=state.niter + 1,
                           x_sum=state.x_sum + x_new, section=jnp.int32(1))
-    base_info = _info(bad)
+    return state, bad
 
-    def commit_fisher(st: AdaQNState, x_avg, s_cand, info):
+
+def _adaqn_boundary(cfg: AdaQNConfig, grad_fn: GradFn,
+                    obj_fn: Optional[ObjFn], state: AdaQNState, big: Batch,
+                    fval_batch: Batch, bad) -> Tuple[AdaQNState, jax.Array]:
+    """Every-``upd_freq`` adaQN work: function-value guard + pair commit
+    (``src/stochqn.c:1201-1308``)."""
+    L = cfg.upd_freq
+    inv_l = jnp.asarray(1.0 / L, state.x.dtype)
+    x_avg = state.x_sum * inv_l
+
+    def commit_fisher(st: AdaQNState, info):
+        s_cand = x_avg - st.x_avg_prev
         mem_p = st.mem.replace(s_pending=s_cand)
         y_cand = fisher_y(st.fisher, s_cand)
         mem2, acc = commit_pair(mem_p, y_cand, cfg.min_curvature, y_reg=0.0)
@@ -203,8 +219,8 @@ def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
                         x_sum=jnp.zeros_like(st.x_sum))
         return st, jnp.where(acc, info, _CURV)
 
-    def commit_grad_diff(st: AdaQNState, x_avg, s_cand, info):
-        big = big_batch_thunk()
+    def commit_grad_diff(st: AdaQNState, info):
+        s_cand = x_avg - st.x_avg_prev
         gb = grad_fn(x_avg, big)
         mem_p = st.mem.replace(s_pending=s_cand)
         mem2, acc = commit_pair(mem_p, gb - st.grad_prev, cfg.min_curvature,
@@ -216,49 +232,59 @@ def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
                         x_sum=jnp.zeros_like(st.x_sum))
         return st, jnp.where(acc, info, _CURV)
 
-    def boundary(st: AdaQNState):
-        x_avg = st.x_sum * inv_l
+    def first(st: AdaQNState):
+        st = st.replace(x_avg_prev=x_avg, x_sum=jnp.zeros_like(st.x_sum))
+        if cfg.use_grad_diff:
+            st = st.replace(grad_prev=grad_fn(x_avg, big))
+        if cfg.max_incr > 0:
+            st = st.replace(f_prev=jnp.asarray(obj_fn(x_avg, fval_batch),
+                                               st.x.dtype))
+        return st, _info(bad)
 
-        def first(st: AdaQNState):
-            st = st.replace(x_avg_prev=x_avg,
-                            x_sum=jnp.zeros_like(st.x_sum))
-            if cfg.use_grad_diff:
-                st = st.replace(grad_prev=grad_fn(x_avg, big_batch_thunk()))
-            if cfg.max_incr > 0:
-                st = st.replace(
-                    f_prev=jnp.asarray(obj_fn(x_avg, fval_batch_thunk()),
-                                       st.x.dtype))
-            return st, base_info
+    def later(st: AdaQNState):
+        if cfg.max_incr > 0:
+            f = jnp.asarray(obj_fn(x_avg, fval_batch), st.x.dtype)
+            reject = ((f > jnp.asarray(cfg.max_incr, f.dtype) * st.f_prev)
+                      | jnp.logical_not(jnp.isfinite(f)))
 
-        def later(st: AdaQNState):
-            s_cand = x_avg - st.x_avg_prev
-            if cfg.max_incr > 0:
-                f = jnp.asarray(obj_fn(x_avg, fval_batch_thunk()), st.x.dtype)
-                reject = ((f > jnp.asarray(cfg.max_incr, f.dtype) * st.f_prev)
-                          | jnp.logical_not(jnp.isfinite(f)))
+            def rejected(st: AdaQNState):
+                st = st.replace(mem=st.mem.flush(),
+                                fisher=st.fisher.flush(),
+                                x=st.x_avg_prev,
+                                x_sum=x_avg)  # quirk: not reset
+                return st, _FINC
 
-                def rejected(st: AdaQNState):
-                    st = st.replace(mem=st.mem.flush(),
-                                    fisher=st.fisher.flush(),
-                                    x=st.x_avg_prev,
-                                    x_sum=x_avg)  # quirk: not reset
-                    return st, _FINC
+            def accepted(st: AdaQNState):
+                st = st.replace(f_prev=f)
+                if cfg.use_grad_diff:
+                    return commit_grad_diff(st, _info(bad))
+                return commit_fisher(st, _info(bad))
 
-                def accepted(st: AdaQNState):
-                    st = st.replace(f_prev=f)
-                    if cfg.use_grad_diff:
-                        return commit_grad_diff(st, x_avg, s_cand, base_info)
-                    return commit_fisher(st, x_avg, s_cand, base_info)
+            return jax.lax.cond(reject, rejected, accepted, st)
+        if cfg.use_grad_diff:
+            return commit_grad_diff(st, _info(bad))
+        return commit_fisher(st, _info(bad))
 
-                return jax.lax.cond(reject, rejected, accepted, st)
-            if cfg.use_grad_diff:
-                return commit_grad_diff(st, x_avg, s_cand, base_info)
-            return commit_fisher(st, x_avg, s_cand, base_info)
+    return jax.lax.cond(state.niter == L, first, later, state)
 
-        return jax.lax.cond(niter == L, first, later, st)
 
-    return jax.lax.cond(jnp.mod(niter, L) == 0, boundary,
-                        lambda st: (st, base_info), state)
+def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
+               state: AdaQNState, batch: Batch,
+               big_batch_thunk: Callable[[], Batch],
+               fval_batch_thunk: Callable[[], Batch], step_size
+               ) -> Tuple[AdaQNState, jax.Array]:
+    """One adaQN iteration with the boundary under ``lax.cond`` — the
+    generic (alignment-free) path."""
+    if cfg.max_incr > 0 and obj_fn is None:
+        raise ValueError("adaQN with max_incr needs an objective function")
+    step_size = jnp.asarray(step_size, state.x.dtype)
+    state, bad = _adaqn_base(cfg, grad_fn, state, batch, step_size)
+    return jax.lax.cond(
+        jnp.mod(state.niter, cfg.upd_freq) == 0,
+        lambda st: _adaqn_boundary(cfg, grad_fn, obj_fn, st,
+                                   big_batch_thunk(), fval_batch_thunk(),
+                                   bad),
+        lambda st: (st, _info(bad)), state)
 
 
 # ===========================================================================
@@ -290,8 +316,8 @@ class FusedTrainer:
       obj_fn: ``obj_fn(x, batch) -> scalar``; required for adaQN with
         ``max_incr``.
       val_data: optional pytree of device-resident validation data used for
-        adaQN's function-value guard (otherwise the cyclic big batch is
-        used, matching the reference's fallback).
+        adaQN's function-value guard (otherwise the big batch is used,
+        matching the reference's fallback).
     """
 
     optimizer: str
@@ -322,23 +348,62 @@ class FusedTrainer:
     def epoch(self, state, data, step_size):
         """Run one epoch over ``data`` (pytree, leaves ``[B, bs, ...]``).
 
-        Returns ``(state, infos[B])``."""
+        Returns ``(state, infos[B])``.  Uses the round-chunked layout when
+        ``B % upd_freq == 0`` (see module docstring)."""
         num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
-        upd_freq = getattr(self.cfg, "upd_freq", 1)
+        L = getattr(self.cfg, "upd_freq", 1)
 
+        if self.optimizer == "oLBFGS":
+            def body(st, batch):
+                return olbfgs_step(self.cfg, self.grad_fn, st, batch,
+                                   step_size)
+            return jax.lax.scan(body, state, data)
+
+        chunked = (num_batches % L == 0 and num_batches >= L)
+        if chunked:
+            return self._epoch_chunked(state, data, step_size, num_batches,
+                                       L)
+        return self._epoch_generic(state, data, step_size, num_batches, L)
+
+    def _epoch_chunked(self, state, data, step_size, num_batches, L):
+        rounds = num_batches // L
+        data_r = jax.tree_util.tree_map(
+            lambda a: a.reshape((rounds, L) + a.shape[1:]), data)
+        base = _sqn_base if self.optimizer == "SQN" else _adaqn_base
+
+        def round_body(st, round_data):
+            def inner(st2, batch):
+                st2, bad = base(self.cfg, self.grad_fn, st2, batch,
+                                step_size)
+                return st2, bad
+
+            st, bads = jax.lax.scan(inner, st, round_data)
+            big = _flat(round_data)
+            if self.optimizer == "SQN":
+                st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
+                                          bads[-1])
+            else:
+                fval = self.val_data if self.val_data is not None else big
+                st, binfo = _adaqn_boundary(self.cfg, self.grad_fn,
+                                            self.obj_fn, st, big, fval,
+                                            bads[-1])
+            infos = _info(bads).at[L - 1].set(binfo)
+            return st, infos
+
+        state, infos = jax.lax.scan(round_body, state, data_r)
+        return state, infos.reshape(num_batches)
+
+    def _epoch_generic(self, state, data, step_size, num_batches, L):
         def body(st, i):
             batch = _batch_at(data, i)
-            big = lambda: _cyclic_window(data, i, min(upd_freq, num_batches),
+            big = lambda: _cyclic_window(data, i, min(L, num_batches),
                                          num_batches)
-            if self.optimizer == "oLBFGS":
-                st, info = olbfgs_step(self.cfg, self.grad_fn, st, batch,
-                                       step_size)
-            elif self.optimizer == "SQN":
+            if self.optimizer == "SQN":
                 st, info = sqn_step(self.cfg, self.grad_fn, st, batch, big,
                                     step_size)
             else:
-                fval = ((lambda: self.val_data) if self.val_data is not None
-                        else big)
+                fval = ((lambda: self.val_data)
+                        if self.val_data is not None else big)
                 st, info = adaqn_step(self.cfg, self.grad_fn, self.obj_fn,
                                       st, batch, big, fval, step_size)
             return st, info
@@ -350,11 +415,8 @@ class FusedTrainer:
                    decr_step_size=None, shuffle_key=None):
         """Host loop over epochs; each epoch is one fused device program.
 
-        ``data`` leaves are ``[num_examples, ...]`` and are reshaped into
-        ``[B, bs, ...]`` with ``B = num_batches`` inferred from
-        ``batch_size``... here instead the caller passes pre-batched data
-        (leaves ``[B, bs, ...]``).  ``decr_step_size(step0, epoch)`` mirrors
-        the guided schedule hook.
+        ``data`` leaves are pre-batched ``[B, bs, ...]``.
+        ``decr_step_size(step0, epoch)`` mirrors the guided schedule hook.
         """
         epoch_fn = jax.jit(self.epoch)
         infos = []

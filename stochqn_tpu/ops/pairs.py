@@ -13,6 +13,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 
 from stochqn_tpu.core.state import BFGSMemory, FisherMemory
 from stochqn_tpu.core.enums import Info
@@ -28,15 +29,34 @@ def direction_is_bad(direction: jax.Array) -> jax.Array:
     return jnp.logical_not(finite) | (norm > jnp.asarray(1e3 * n, acc_t))
 
 
+def conditional_flush(mem: BFGSMemory, pred: jax.Array) -> BFGSMemory:
+    """Flush the ring iff ``pred`` — touching only the scalar indices.
+
+    A naive ``tree_map(where(pred, flushed, mem))`` would materialize an
+    elementwise select over the whole ``[m, n]`` pair buffers (tens of MB
+    of traffic per step); flushing is purely an index reset
+    (``src/stochqn.c:554-558``), so only ``head``/``count`` change.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    return mem.replace(head=jnp.where(pred, zero, mem.head),
+                       count=jnp.where(pred, zero, mem.count))
+
+
 def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
-                y_reg: float) -> Tuple[BFGSMemory, jax.Array]:
+                y_reg: float, enabled=None) -> Tuple[BFGSMemory, jax.Array]:
     """Try to commit ``(mem.s_pending, y_cand [+ y_reg * s])`` into the ring.
 
     Implements ``update_y_grad_diff``-style regularization plus
     ``check_min_curvature`` (``src/stochqn.c:883-926``): accept iff
     ``s.y / s.s > min_curvature`` (always accept when ``min_curvature <= 0``).
+    ``enabled`` (optional bool scalar) vetoes the commit entirely (used by
+    the fused engine to skip pair creation after a rejected direction).
 
     Returns ``(new_mem, accepted)``; on rejection the memory is unchanged.
+
+    Written copy-free: rejection writes the *current* row contents back into
+    the touched row and recomputes its (identical, deterministic) Gram
+    entries, so no full-buffer select ever materializes.
 
     Edge-case deviation from the C code: a 0/0 curvature ratio (``s == 0``)
     produces NaN, which the C comparison ``curv <= min_curvature`` treats as
@@ -54,16 +74,27 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
         accepted = curv > jnp.asarray(min_curvature, acc_t)
     else:
         accepted = jnp.ones((), dtype=bool)
+    if enabled is not None:
+        accepted = accepted & enabled
 
     size = mem.mem_size
-    new_s = jax.lax.dynamic_update_index_in_dim(mem.s, s, mem.head, axis=0)
-    new_y = jax.lax.dynamic_update_index_in_dim(mem.y, y_cand, mem.head, axis=0)
+    # Row to write: the candidate on accept, the existing contents on
+    # reject (an idempotent rewrite — O(n), not O(m n)).
+    cur_s = jax.lax.dynamic_index_in_dim(mem.s, mem.head, 0, keepdims=False)
+    cur_y = jax.lax.dynamic_index_in_dim(mem.y, mem.head, 0, keepdims=False)
+    row_s = jnp.where(accepted, s, cur_s)
+    row_y = jnp.where(accepted, y_cand, cur_y)
+    new_s = jax.lax.dynamic_update_index_in_dim(mem.s, row_s, mem.head,
+                                                axis=0)
+    new_y = jax.lax.dynamic_update_index_in_dim(mem.y, row_y, mem.head,
+                                                axis=0)
 
     # Incremental Gram update: one [2m, n] @ [n, 2] pass refreshes the row
-    # and column of W W^T touched by the new pair.
+    # and column of W W^T touched by the written pair.  On reject this
+    # recomputes the existing entries bit-identically.
     gram_t = mem.gram.dtype
     w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
-    p = jnp.matmul(w_new, jnp.stack([s, y_cand], axis=1),
+    p = jnp.matmul(w_new, jnp.stack([row_s, row_y], axis=1),
                    preferred_element_type=gram_t)            # [2m, 2]
     gram = mem.gram
     gram = jax.lax.dynamic_update_index_in_dim(
@@ -75,16 +106,62 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     gram = jax.lax.dynamic_update_index_in_dim(
         gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
 
-    committed = mem.replace(
+    new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
+    new_count = jnp.where(accepted, jnp.minimum(mem.count + 1, size),
+                          mem.count)
+    cache = _small_cache(gram, new_head, new_count, size)
+
+    new_mem = mem.replace(
         s=new_s,
         y=new_y,
         gram=gram,
-        head=(mem.head + 1) % size,
-        count=jnp.minimum(mem.count + 1, size),
+        head=new_head,
+        count=new_count,
+        **cache,
     )
-    new_mem = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(accepted, a, b), committed, mem)
     return new_mem, accepted
+
+
+def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
+                 mem_size: int) -> dict:
+    """Commit-time precomputation of everything in the two-loop that does
+    not depend on the incoming gradient: chronological permutation, rho,
+    the inverted backward/forward triangular systems, the chronological
+    ``Y Y^T`` block, the forward coupling matrix, and default gamma.
+
+    Amortized over ``upd_freq`` steps, this turns the per-step small math
+    into three ``m``-sized matvecs (see ``two_loop``'s cached fast path).
+    """
+    m = mem_size
+    acc_t = gram.dtype
+    start = jnp.mod(head - count, m)
+    perm = jnp.mod(start + jnp.arange(m, dtype=jnp.int32), m)
+    cidx = jnp.arange(m, dtype=jnp.int32)
+    valid = cidx < count
+    validf = valid.astype(acc_t)
+
+    sy = gram[:m, m:][perm][:, perm]
+    yy = gram[m:, m:][perm][:, perm]
+    sy_diag = jnp.diagonal(sy)
+    rho = validf / jnp.where(valid, sy_diag, jnp.ones_like(sy_diag))
+
+    eye = jnp.eye(m, dtype=acc_t)
+    bwd = eye + jnp.triu(rho[:, None] * sy, k=1)
+    bwd_inv = solve_triangular(bwd, eye, lower=False)
+    rl = jnp.tril(rho[:, None] * sy.T, k=-1)
+    fwd_inv = solve_triangular(eye + rl, eye, lower=True)
+
+    has_pairs = count > 0
+    last = jnp.maximum(count - 1, 0)
+    yy_last = jnp.diagonal(yy)[last]
+    gamma = jnp.where(
+        has_pairs,
+        sy_diag[last] / jnp.where(has_pairs, yy_last, jnp.ones_like(yy_last)),
+        jnp.ones((), acc_t))
+
+    return dict(perm=perm, rho=rho, bwd_inv=bwd_inv, fwd_inv=fwd_inv,
+                yy_c=yy * validf[:, None] * validf[None, :], rl_c=rl,
+                gamma=gamma)
 
 
 def fisher_y(fisher: FisherMemory, s: jax.Array) -> jax.Array:

@@ -207,6 +207,93 @@ def two_loop(
     return jnp.where(has_pairs, d, empty).astype(dtype)
 
 
+def two_loop_cached(
+    grad: jax.Array,
+    mem,
+    *,
+    h0: float = 0.0,
+    diag: Optional[jax.Array] = None,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+) -> jax.Array:
+    """Two-loop using the commit-time small-math cache in ``BFGSMemory``.
+
+    Identical math to :func:`two_loop`, but all gradient-independent
+    O(m)/O(m^2) quantities (permutation, rho, inverted triangular systems,
+    chronological Y Y^T, forward coupling, gamma) come precomputed from
+    ``stochqn_tpu.ops.pairs.commit_pair``.  A step is then:
+
+        project  ``W g``                    (one [2m, n] pass)
+        small    three m-sized matvecs      (alpha, y_r0, beta)
+        expand   ``gamma g + W^T u``        (one [2m, n] pass)
+
+    which minimizes the per-step op count — the dominant cost inside a
+    ``lax.scan`` on TPU, where tiny sequential ops, not FLOPs, set the
+    pace.  This is the production path used by the state machines and the
+    fused engine.
+    """
+    s_mem, y_mem = mem.s, mem.y
+    m, n = s_mem.shape
+    dtype = grad.dtype
+    acc_t = mem.bwd_inv.dtype
+    perm = mem.perm
+    count = mem.count
+    has_pairs = count > 0
+
+    ydg_st = ydy_st = None
+    pallas_ok = use_pallas and dtype == jnp.float32
+    if pallas_ok and diag is not None:
+        from stochqn_tpu.ops.pallas import two_loop_kernel as tlk
+        wg, ydg_st, ydy_st = tlk.project_adaqn(
+            s_mem, y_mem, diag, grad, interpret=pallas_interpret)
+        wg = wg.astype(acc_t)
+    else:
+        w = jnp.concatenate([s_mem, y_mem], axis=0)
+        wg = jnp.matmul(w, grad, preferred_element_type=acc_t)
+
+    sg = wg[:m][perm]
+    yg = wg[m:][perm]
+
+    alpha = jnp.matmul(mem.bwd_inv, mem.rho * sg,
+                       preferred_element_type=acc_t)
+
+    if diag is None:
+        if h0 > 0:
+            gamma = jnp.asarray(h0, acc_t)
+        else:
+            gamma = mem.gamma
+        gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
+        y_r0 = gamma * (yg - jnp.matmul(mem.yy_c, alpha,
+                                        preferred_element_type=acc_t))
+    else:
+        if ydg_st is None:
+            yd = y_mem * diag[None, :].astype(dtype)
+            ydg_st = jnp.matmul(yd, grad, preferred_element_type=acc_t)
+            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t)
+        ydg = ydg_st.astype(acc_t)[perm]
+        ydy = ydy_st.astype(acc_t)[perm][:, perm]
+        y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t)
+
+    rhs = mem.rho * y_r0 + jnp.matmul(mem.rl_c, alpha,
+                                      preferred_element_type=acc_t)
+    beta = jnp.matmul(mem.fwd_inv, rhs, preferred_element_type=acc_t)
+
+    coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
+    alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
+
+    st_alpha_y = jnp.matmul(alpha_st, y_mem, preferred_element_type=acc_t)
+    st_coeff_s = jnp.matmul(coeff_s, s_mem, preferred_element_type=acc_t)
+
+    g_acc = grad.astype(acc_t)
+    if diag is None:
+        d = gamma * (g_acc - st_alpha_y) + st_coeff_s
+        empty = g_acc
+    else:
+        d = diag.astype(acc_t) * (g_acc - st_alpha_y) + st_coeff_s
+        empty = diag.astype(acc_t) * g_acc
+    return jnp.where(has_pairs, d, empty).astype(dtype)
+
+
 def two_loop_sequential(
     grad: jax.Array,
     s_mem: jax.Array,

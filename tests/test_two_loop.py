@@ -167,3 +167,43 @@ def test_stale_rows_are_masked(rng):
     stale = np.asarray(two_loop(jnp.asarray(g), jnp.asarray(s_stale),
                                 jnp.asarray(y_stale), head, cnt))
     np.testing.assert_allclose(stale, clean, rtol=1e-10)
+
+
+def test_cached_fast_path_matches_two_loop(rng):
+    """two_loop_cached (commit-time small-math cache) == two_loop."""
+    import jax.numpy as jnp
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+
+    n, m = 30, 4
+    mem = BFGSMemory.create(m, n, jnp.float64)
+    for k in range(6):  # wraps the ring
+        s = jnp.asarray(rng.standard_normal(n))
+        y = s + 0.25 * jnp.asarray(rng.standard_normal(n))
+        mem = mem.replace(s_pending=s)
+        mem, acc = commit_pair(mem, y, min_curvature=1e-8, y_reg=0.0)
+        assert bool(acc)
+        g = jnp.asarray(rng.standard_normal(n))
+        for h0 in (0.0, 0.7):
+            ref = two_loop(g, mem.s, mem.y, mem.head, mem.count, h0=h0)
+            got = two_loop_cached(g, mem, h0=h0)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-10, atol=1e-12)
+        diag = jnp.asarray(rng.uniform(0.1, 2.0, n))
+        ref = two_loop(g, mem.s, mem.y, mem.head, mem.count, diag=diag)
+        got = two_loop_cached(g, mem, diag=diag)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_cached_fast_path_empty_memory(rng):
+    import jax.numpy as jnp
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+
+    n = 9
+    mem = BFGSMemory.create(3, n, jnp.float64)
+    g = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(np.asarray(two_loop_cached(g, mem, h0=2.0)),
+                               np.asarray(g))
