@@ -124,37 +124,40 @@ def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
                   big: Batch, bad) -> Tuple[SQNState, jax.Array]:
     """The every-``upd_freq`` correction-pair work
     (``src/stochqn.c:1078-1141``).  ``big`` is the already-assembled big
-    batch; must be called exactly when ``niter % upd_freq == 0``."""
+    batch; must be called exactly when ``niter % upd_freq == 0``.
+
+    Branch-free: the first-archive and later-commit cases are combined
+    with scalar/[n]-sized selects and a vetoed commit — a ``lax.cond``
+    here would copy the ``[m, n]`` pair memories through its carry."""
     L = cfg.upd_freq
     inv_l = jnp.asarray(1.0 / L, state.x.dtype)
-    x_avg = state.x_sum * inv_l
+    st = state
+    x_avg = st.x_sum * inv_l
+    is_first = st.niter == L
+    not_first = jnp.logical_not(is_first)
 
-    def first(st: SQNState):
-        st = st.replace(x_avg_prev=x_avg, x_sum=jnp.zeros_like(st.x_sum))
-        if cfg.use_grad_diff:
-            st = st.replace(grad_prev=grad_fn(x_avg, big))
-        return st, _info(bad)
-
-    def later(st: SQNState):
-        s_cand = x_avg - st.x_avg_prev
-        mem_p = st.mem.replace(s_pending=s_cand)
-        if cfg.use_grad_diff:
-            gb = grad_fn(x_avg, big)
-            mem2, acc = commit_pair(mem_p, gb - st.grad_prev,
-                                    cfg.min_curvature, cfg.y_reg)
-            st = st.replace(
-                mem=mem2,
-                grad_prev=jnp.where(acc, gb, st.grad_prev),
-                x_avg_prev=jnp.where(acc, x_avg, st.x_avg_prev),
-                x_sum=jnp.zeros_like(st.x_sum))
-        else:
-            hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,), (s_cand,))[1]
-            mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature, y_reg=0.0)
-            st = st.replace(mem=mem2, x_avg_prev=x_avg,
-                            x_sum=jnp.zeros_like(st.x_sum))
-        return st, _info(bad, acc)
-
-    return jax.lax.cond(state.niter == L, first, later, state)
+    s_cand = x_avg - st.x_avg_prev      # garbage on first round; vetoed
+    mem_p = st.mem.replace(s_pending=s_cand)
+    if cfg.use_grad_diff:
+        gb = grad_fn(x_avg, big)        # first round evaluates at the
+        # archived average, which equals x_avg here (src/stochqn.c:1086-1088)
+        mem2, acc = commit_pair(mem_p, gb - st.grad_prev,
+                                cfg.min_curvature, cfg.y_reg,
+                                enabled=not_first)
+        st = st.replace(
+            mem=mem2,
+            grad_prev=jnp.where(is_first | acc, gb, st.grad_prev),
+            x_avg_prev=jnp.where(is_first | acc, x_avg, st.x_avg_prev),
+            x_sum=jnp.zeros_like(st.x_sum))
+    else:
+        hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,), (s_cand,))[1]
+        mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature, y_reg=0.0,
+                                enabled=not_first)
+        # archive happens on first AND (accept or reject) later rounds
+        st = st.replace(mem=mem2, x_avg_prev=x_avg,
+                        x_sum=jnp.zeros_like(st.x_sum))
+    info = jnp.where(is_first, _info(bad), _info(bad, acc))
+    return st, info
 
 
 def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
@@ -204,68 +207,68 @@ def _adaqn_boundary(cfg: AdaQNConfig, grad_fn: GradFn,
                     obj_fn: Optional[ObjFn], state: AdaQNState, big: Batch,
                     fval_batch: Batch, bad) -> Tuple[AdaQNState, jax.Array]:
     """Every-``upd_freq`` adaQN work: function-value guard + pair commit
-    (``src/stochqn.c:1201-1308``)."""
+    (``src/stochqn.c:1201-1308``).
+
+    Branch-free (see ``_sqn_boundary``): first-archive, func-increase
+    rejection, and pair commit are combined with scalar/[n]-sized selects
+    and a vetoed commit — no big-buffer-carrying ``lax.cond``."""
     L = cfg.upd_freq
     inv_l = jnp.asarray(1.0 / L, state.x.dtype)
-    x_avg = state.x_sum * inv_l
+    st = state
+    x_avg = st.x_sum * inv_l
+    is_first = st.niter == L
+    not_first = jnp.logical_not(is_first)
+    base_info = _info(bad)
 
-    def commit_fisher(st: AdaQNState, info):
-        s_cand = x_avg - st.x_avg_prev
-        mem_p = st.mem.replace(s_pending=s_cand)
-        y_cand = fisher_y(st.fisher, s_cand)
-        mem2, acc = commit_pair(mem_p, y_cand, cfg.min_curvature, y_reg=0.0)
-        st = st.replace(mem=mem2,
-                        x_avg_prev=jnp.where(acc, x_avg, st.x_avg_prev),
-                        x_sum=jnp.zeros_like(st.x_sum))
-        return st, jnp.where(acc, info, _CURV)
+    # --- function-value guard (src/stochqn.c:1272-1291) ---
+    if cfg.max_incr > 0:
+        f = jnp.asarray(obj_fn(x_avg, fval_batch), st.x.dtype)
+        reject = not_first & (
+            (f > jnp.asarray(cfg.max_incr, f.dtype) * st.f_prev)
+            | jnp.logical_not(jnp.isfinite(f)))
+        # accept (or first): record f; reject: keep f_prev
+        st = st.replace(f_prev=jnp.where(reject, st.f_prev, f))
+    else:
+        reject = jnp.zeros((), bool)
 
-    def commit_grad_diff(st: AdaQNState, info):
-        s_cand = x_avg - st.x_avg_prev
+    commit_ok = not_first & jnp.logical_not(reject)
+    s_cand = x_avg - st.x_avg_prev      # garbage on first round; vetoed
+    mem_p = st.mem.replace(s_pending=s_cand)
+
+    if cfg.use_grad_diff:
         gb = grad_fn(x_avg, big)
-        mem_p = st.mem.replace(s_pending=s_cand)
         mem2, acc = commit_pair(mem_p, gb - st.grad_prev, cfg.min_curvature,
-                                cfg.y_reg)
-        # x_avg_prev deliberately NOT refreshed (reference quirk,
+                                cfg.y_reg, enabled=commit_ok)
+        # x_avg_prev refreshed only on the first archive (reference quirk,
         # src/stochqn.c:1265-1270).
-        st = st.replace(mem=mem2,
-                        grad_prev=jnp.where(acc, gb, st.grad_prev),
-                        x_sum=jnp.zeros_like(st.x_sum))
-        return st, jnp.where(acc, info, _CURV)
+        st = st.replace(
+            mem=mem2,
+            grad_prev=jnp.where(is_first | acc, gb, st.grad_prev),
+            x_avg_prev=jnp.where(is_first, x_avg, st.x_avg_prev))
+    else:
+        y_cand = fisher_y(st.fisher, s_cand)
+        mem2, acc = commit_pair(mem_p, y_cand, cfg.min_curvature, y_reg=0.0,
+                                enabled=commit_ok)
+        st = st.replace(
+            mem=mem2,
+            x_avg_prev=jnp.where(is_first | acc, x_avg, st.x_avg_prev))
 
-    def first(st: AdaQNState):
-        st = st.replace(x_avg_prev=x_avg, x_sum=jnp.zeros_like(st.x_sum))
-        if cfg.use_grad_diff:
-            st = st.replace(grad_prev=grad_fn(x_avg, big))
-        if cfg.max_incr > 0:
-            st = st.replace(f_prev=jnp.asarray(obj_fn(x_avg, fval_batch),
-                                               st.x.dtype))
-        return st, _info(bad)
+    # rejection: flush both memories, revert x (src/stochqn.c:1275-1283)
+    st = st.replace(
+        mem=conditional_flush(st.mem, reject),
+        fisher=st.fisher.replace(
+            head=jnp.where(reject, jnp.int32(0), st.fisher.head),
+            count=jnp.where(reject, jnp.int32(0), st.fisher.count)),
+        x=jnp.where(reject, st.x_avg_prev, st.x),
+        # x_sum: zeroed normally; on rejection keeps x_avg (quirk,
+        # src/stochqn.c:1275-1283 — the sum is left divided)
+        x_sum=jnp.where(reject, x_avg, jnp.zeros_like(st.x_sum)),
+    )
 
-    def later(st: AdaQNState):
-        if cfg.max_incr > 0:
-            f = jnp.asarray(obj_fn(x_avg, fval_batch), st.x.dtype)
-            reject = ((f > jnp.asarray(cfg.max_incr, f.dtype) * st.f_prev)
-                      | jnp.logical_not(jnp.isfinite(f)))
-
-            def rejected(st: AdaQNState):
-                st = st.replace(mem=st.mem.flush(),
-                                fisher=st.fisher.flush(),
-                                x=st.x_avg_prev,
-                                x_sum=x_avg)  # quirk: not reset
-                return st, _FINC
-
-            def accepted(st: AdaQNState):
-                st = st.replace(f_prev=f)
-                if cfg.use_grad_diff:
-                    return commit_grad_diff(st, _info(bad))
-                return commit_fisher(st, _info(bad))
-
-            return jax.lax.cond(reject, rejected, accepted, st)
-        if cfg.use_grad_diff:
-            return commit_grad_diff(st, _info(bad))
-        return commit_fisher(st, _info(bad))
-
-    return jax.lax.cond(state.niter == L, first, later, state)
+    info = jnp.where(reject, _FINC,
+                     jnp.where(is_first, base_info,
+                               jnp.where(acc, base_info, _CURV)))
+    return st, info
 
 
 def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],

@@ -142,6 +142,73 @@ def test_fused_adaqn_matches_protocol(rng, use_grad_diff, max_incr):
     np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
 
 
+def test_fused_adaqn_func_increase_matches_protocol(rng):
+    """An objective that spikes once training crosses a threshold triggers
+    adaQN's func_increased revert identically in fused and protocol modes."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n)) * 0.1
+    grad_fn, obj_base = _make_funs(a)
+
+    # calibrate: find the guard-eval f values of an unspiked run, then set
+    # the spike threshold between the 1st and 2nd boundary evaluations so
+    # the rejection fires exactly once training crosses it
+    cal = FusedTrainer("adaQN",
+                       AdaQNConfig.create(mem_size=3, fisher_size=10,
+                                          bfgs_upd_freq=L, max_incr=1e6),
+                       grad_fn, obj_fn=obj_base)
+    st_cal = cal.init(jnp.zeros(n) + 2.0)
+    fvals = []
+    ep_cal = jax.jit(cal.epoch)
+    for _ in range(2):
+        st_cal, _ = ep_cal(st_cal, jnp.asarray(centers), 0.1)
+        fvals.append(float(st_cal.f_prev))
+    assert fvals[1] < fvals[0], "calibration run did not descend"
+    thresh = 0.5 * (fvals[0] + fvals[1])
+
+    def obj_fn(x, batch):
+        base = obj_base(x, batch)
+        # once the loss drops below the threshold, report a huge value
+        return jnp.where(base < thresh, 1e30, base)
+
+    cfg = AdaQNConfig.create(mem_size=3, fisher_size=10, bfgs_upd_freq=L,
+                             max_incr=1.01)
+    trainer = FusedTrainer("adaQN", cfg, grad_fn, obj_fn=obj_fn)
+    state = trainer.init(jnp.zeros(n) + 2.0)
+    epoch_fn = jax.jit(trainer.epoch)
+    nep = 2 * NEPOCHS
+    infos = []
+    for _ in range(nep):
+        state, info = epoch_fn(state, jnp.asarray(centers), 0.1)
+        infos.append(np.asarray(info))
+    x_fused = np.asarray(state.x)
+    assert (np.concatenate(infos) == 201).any(), "no func_increased seen"
+
+    opt = adaQN_free(mem_size=3, fisher_size=10, bfgs_upd_freq=L,
+                     max_incr=1.01)
+    x = np.zeros(n) + 2.0
+    req = opt.run_optimizer(x, 0.1)
+    b = -1
+    w = min(L, B)
+    while True:
+        task = req["task"]
+        if task == "calc_grad" and opt.niter >= nep * B:
+            break
+        if task == "calc_grad":
+            b += 1
+            batch = jnp.asarray(centers[b % B])
+            opt.update_gradient(grad_fn(jnp.asarray(req["requested_on"]),
+                                        batch))
+        elif task == "calc_fun_val_batch":
+            i = b % B
+            idx = (i + 1 - w + np.arange(w)) % B
+            big = jnp.asarray(centers[idx].reshape(-1, n))
+            opt.update_function(obj_fn(jnp.asarray(req["requested_on"]),
+                                       big))
+        req = opt.run_optimizer(x, 0.1)
+    np.testing.assert_allclose(x_fused, x, rtol=1e-6, atol=1e-9)
+
+
 def test_fused_scan_counts_iterations(rng):
     n, B, bs = 6, 8, 2
     a = _quad_problem(rng, n)
