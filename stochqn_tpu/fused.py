@@ -368,30 +368,47 @@ class FusedTrainer:
                                        L)
         return self._epoch_generic(state, data, step_size, num_batches, L)
 
+    def round(self, state, round_data, step_size):
+        """One ``upd_freq``-sized round: inner scan of branch-free base
+        steps + the boundary work once.  ``round_data`` leaves are
+        ``[upd_freq, bs, ...]``.  Must start with ``niter % upd_freq == 0``.
+
+        Also the unit of streaming ingestion: jit this and feed successive
+        rounds of minibatches (see ``stochqn_tpu.utils.data.stream_rounds``)
+        — the streaming analogue of the reference's ``partial_fit``
+        stored-batch container (``stochqn/_optimizers.py:288-337``)."""
+        if self.optimizer == "oLBFGS":
+            def inner_o(st2, batch):
+                return olbfgs_step(self.cfg, self.grad_fn, st2, batch,
+                                   step_size)
+            return jax.lax.scan(inner_o, state, round_data)
+
+        L = jax.tree_util.tree_leaves(round_data)[0].shape[0]
+        base = _sqn_base if self.optimizer == "SQN" else _adaqn_base
+
+        def inner(st2, batch):
+            st2, bad = base(self.cfg, self.grad_fn, st2, batch, step_size)
+            return st2, bad
+
+        st, bads = jax.lax.scan(inner, state, round_data)
+        big = _flat(round_data)
+        if self.optimizer == "SQN":
+            st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
+                                      bads[-1])
+        else:
+            fval = self.val_data if self.val_data is not None else big
+            st, binfo = _adaqn_boundary(self.cfg, self.grad_fn, self.obj_fn,
+                                        st, big, fval, bads[-1])
+        infos = _info(bads).at[L - 1].set(binfo)
+        return st, infos
+
     def _epoch_chunked(self, state, data, step_size, num_batches, L):
         rounds = num_batches // L
         data_r = jax.tree_util.tree_map(
             lambda a: a.reshape((rounds, L) + a.shape[1:]), data)
-        base = _sqn_base if self.optimizer == "SQN" else _adaqn_base
 
         def round_body(st, round_data):
-            def inner(st2, batch):
-                st2, bad = base(self.cfg, self.grad_fn, st2, batch,
-                                step_size)
-                return st2, bad
-
-            st, bads = jax.lax.scan(inner, st, round_data)
-            big = _flat(round_data)
-            if self.optimizer == "SQN":
-                st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
-                                          bads[-1])
-            else:
-                fval = self.val_data if self.val_data is not None else big
-                st, binfo = _adaqn_boundary(self.cfg, self.grad_fn,
-                                            self.obj_fn, st, big, fval,
-                                            bads[-1])
-            infos = _info(bads).at[L - 1].set(binfo)
-            return st, infos
+            return self.round(st, round_data, step_size)
 
         state, infos = jax.lax.scan(round_body, state, data_r)
         return state, infos.reshape(num_batches)

@@ -105,6 +105,25 @@ def test_mlp_learns_xorish(rng):
     assert clf.score(X, labels) > 0.95
 
 
+def test_mlp_digits_adaqn(rng):
+    """BASELINE config 4 proxy (MNIST-class problem, offline-available):
+    adaQN with empirical Fisher + max_incr guard + RMSProp H0 on a
+    non-convex MLP classifier over sklearn digits."""
+    from sklearn.datasets import load_digits
+    from stochqn_tpu.models.mlp import MLPClassifier
+
+    digits = load_digits()
+    X = digits.data / 16.0
+    y = digits.target
+
+    clf = MLPClassifier(hidden=(48,), optimizer="adaQN", step_size=0.05,
+                        batch_size=128, nepochs=30, bfgs_upd_freq=4,
+                        fisher_size=32, max_incr=1.01, random_state=0)
+    clf.fit(X, y)
+    acc = clf.score(X, y)
+    assert acc > 0.9, f"MLP digits accuracy {acc}"
+
+
 def test_checkpoint_roundtrip_mid_protocol(rng, tmp_path):
     """Save mid-run, restore into a fresh template, continue: identical."""
     from stochqn_tpu.core.config import AdaQNConfig

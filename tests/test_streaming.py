@@ -1,0 +1,82 @@
+"""Streaming ingestion: stream_rounds == fused epoch == protocol."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig, SQNConfig
+from stochqn_tpu.fused import FusedTrainer
+from stochqn_tpu.utils.data import prefetch_to_device, rounds_of, stream_rounds
+
+
+def _quad(rng, n):
+    q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    return jnp.asarray(q @ np.diag(rng.uniform(0.5, 4.0, n)) @ q.T)
+
+
+def test_prefetch_preserves_order(rng):
+    batches = [{"a": np.full((2,), i)} for i in range(7)]
+    out = list(prefetch_to_device(batches, size=3))
+    assert len(out) == 7
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["a"]), [i, i])
+
+
+def test_rounds_of_drops_tail(rng):
+    batches = [np.full((2,), i) for i in range(10)]
+    rounds = list(rounds_of(batches, 4))
+    assert len(rounds) == 2
+    assert rounds[0].shape == (4, 2)
+    np.testing.assert_array_equal(np.asarray(rounds[1][:, 0]), [4, 5, 6, 7])
+
+
+def test_stream_matches_epoch_sqn(rng):
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+
+    def grad_fn(x, batch):
+        return a @ (x - jnp.mean(batch, axis=0))
+
+    trainer = FusedTrainer("SQN", SQNConfig.create(mem_size=3,
+                                                   bfgs_upd_freq=L), grad_fn)
+    st_epoch = trainer.init(jnp.zeros(n))
+    st_epoch, infos_e = jax.jit(trainer.epoch)(
+        st_epoch, jnp.asarray(centers), 0.05)
+
+    st_stream = trainer.init(jnp.zeros(n))
+    st_stream, infos_s = stream_rounds(
+        trainer, st_stream, (jnp.asarray(centers[i]) for i in range(B)),
+        0.05)
+    np.testing.assert_allclose(np.asarray(st_stream.x),
+                               np.asarray(st_epoch.x), rtol=1e-7, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(infos_s), np.asarray(infos_e))
+    assert int(st_stream.niter) == B
+
+
+def test_stream_olbfgs_and_adaqn(rng):
+    n, B, bs = 6, 8, 2
+    a = _quad(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+
+    def grad_fn(x, batch):
+        return a @ (x - jnp.mean(batch, axis=0))
+
+    def obj_fn(x, batch):
+        r = x - jnp.mean(batch, axis=0)
+        return 0.5 * r @ a @ r
+
+    t1 = FusedTrainer("oLBFGS", OLBFGSConfig.create(mem_size=3), grad_fn)
+    st = t1.init(jnp.zeros(n))
+    st, infos = stream_rounds(t1, st, iter(jnp.asarray(centers)), 0.05)
+    assert int(st.niter) == B
+
+    t2 = FusedTrainer("adaQN",
+                      AdaQNConfig.create(mem_size=3, fisher_size=6,
+                                         bfgs_upd_freq=4), grad_fn,
+                      obj_fn=obj_fn)
+    st2 = t2.init(jnp.zeros(n))
+    st2, infos2 = stream_rounds(
+        t2, st2, (jnp.asarray(centers[i]) for i in range(B)),
+        lambda r: 0.05 / (r + 1))
+    assert int(st2.niter) == B
+    assert np.all(np.isfinite(np.asarray(st2.x)))
