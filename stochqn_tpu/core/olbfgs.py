@@ -35,7 +35,7 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: OLBFGSConfig) -> OLBFGSState:
-    return OLBFGSState.create(x0, cfg.mem_size)
+    return OLBFGSState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16)
 
 
 def advance(cfg: OLBFGSConfig, state: OLBFGSState, grad: jax.Array,

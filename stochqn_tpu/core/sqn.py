@@ -38,7 +38,7 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: SQNConfig) -> SQNState:
-    return SQNState.create(x0, cfg.mem_size)
+    return SQNState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16)
 
 
 def _resume(st: SQNState, info, x_changed) -> Tuple[SQNState, AdvanceResult]:

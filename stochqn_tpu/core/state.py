@@ -72,12 +72,14 @@ class BFGSMemory:
     gamma: jax.Array      # scalar: default H0 = (s.y)/(y.y) of latest pair
 
     @classmethod
-    def create(cls, mem_size: int, n: int, dtype=jnp.float32) -> "BFGSMemory":
+    def create(cls, mem_size: int, n: int, dtype=jnp.float32,
+               storage_dtype=None) -> "BFGSMemory":
         gram_t = jnp.promote_types(dtype, jnp.float32)
         m = mem_size
+        st_t = dtype if storage_dtype is None else storage_dtype
         return cls(
-            s=jnp.zeros((m, n), dtype=dtype),
-            y=jnp.zeros((m, n), dtype=dtype),
+            s=jnp.zeros((m, n), dtype=st_t),
+            y=jnp.zeros((m, n), dtype=st_t),
             gram=jnp.zeros((2 * m, 2 * m), dtype=gram_t),
             s_pending=jnp.zeros((n,), dtype=dtype),
             head=jnp.zeros((), dtype=jnp.int32),
@@ -150,12 +152,14 @@ class OLBFGSState:
     section: jax.Array    # int32 coroutine resume point (0, 1, 2)
 
     @classmethod
-    def create(cls, x0: jax.Array, mem_size: int) -> "OLBFGSState":
+    def create(cls, x0: jax.Array, mem_size: int,
+               pairs_bf16: bool = False) -> "OLBFGSState":
         x0 = jnp.asarray(x0)
         n = x0.shape[0]
+        st_t = jnp.bfloat16 if pairs_bf16 else None
         return cls(
             x=x0,
-            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
             grad_prev=jnp.zeros((n,), dtype=x0.dtype),
             niter=jnp.zeros((), dtype=jnp.int32),
             section=jnp.zeros((), dtype=jnp.int32),
@@ -181,13 +185,15 @@ class SQNState:
     section: jax.Array     # int32 (0..4)
 
     @classmethod
-    def create(cls, x0: jax.Array, mem_size: int) -> "SQNState":
+    def create(cls, x0: jax.Array, mem_size: int,
+               pairs_bf16: bool = False) -> "SQNState":
         x0 = jnp.asarray(x0)
         n = x0.shape[0]
         zeros = jnp.zeros((n,), dtype=x0.dtype)
+        st_t = jnp.bfloat16 if pairs_bf16 else None
         return cls(
             x=x0,
-            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
             grad_prev=zeros,
             x_sum=zeros,
             x_avg_prev=zeros,
@@ -213,13 +219,15 @@ class AdaQNState:
     section: jax.Array      # int32 (0..5)
 
     @classmethod
-    def create(cls, x0: jax.Array, mem_size: int, fisher_size: int) -> "AdaQNState":
+    def create(cls, x0: jax.Array, mem_size: int, fisher_size: int,
+               pairs_bf16: bool = False) -> "AdaQNState":
         x0 = jnp.asarray(x0)
         n = x0.shape[0]
         zeros = jnp.zeros((n,), dtype=x0.dtype)
+        st_t = jnp.bfloat16 if pairs_bf16 else None
         return cls(
             x=x0,
-            mem=BFGSMemory.create(mem_size, n, x0.dtype),
+            mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
             fisher=FisherMemory.create(max(fisher_size, 1), n, x0.dtype),
             grad_prev=zeros,
             x_sum=zeros,

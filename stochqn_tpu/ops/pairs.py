@@ -80,10 +80,11 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     size = mem.mem_size
     # Row to write: the candidate on accept, the existing contents on
     # reject (an idempotent rewrite — O(n), not O(m n)).
+    st_t = mem.s.dtype  # may be a narrower storage dtype (pairs_bf16)
     cur_s = jax.lax.dynamic_index_in_dim(mem.s, mem.head, 0, keepdims=False)
     cur_y = jax.lax.dynamic_index_in_dim(mem.y, mem.head, 0, keepdims=False)
-    row_s = jnp.where(accepted, s, cur_s)
-    row_y = jnp.where(accepted, y_cand, cur_y)
+    row_s = jnp.where(accepted, s.astype(st_t), cur_s)
+    row_y = jnp.where(accepted, y_cand.astype(st_t), cur_y)
     new_s = jax.lax.dynamic_update_index_in_dim(mem.s, row_s, mem.head,
                                                 axis=0)
     new_y = jax.lax.dynamic_update_index_in_dim(mem.y, row_y, mem.head,

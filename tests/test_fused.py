@@ -226,3 +226,29 @@ def test_batchify_drops_tail(rng):
     out = batchify(data, 4)
     assert out["x"].shape == (2, 4, 3)
     assert out["y"].shape == (2, 4)
+
+
+def test_fused_sqn_pairs_bf16_converges(rng):
+    """bf16 pair storage (f32 math) still converges close to the f32 run."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n).astype(jnp.float32)
+    centers = rng.standard_normal((B, bs, n)) * 0.1
+    grad_fn, obj_fn = _make_funs(a)
+
+    outs = {}
+    for bf16 in (False, True):
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L,
+                               pairs_bf16=bf16)
+        trainer = FusedTrainer("SQN", cfg, grad_fn)
+        state = trainer.init(jnp.ones(n, jnp.float32))
+        ep = jax.jit(trainer.epoch)
+        for _ in range(4):
+            state, _ = ep(state, jnp.asarray(centers, jnp.float32), 0.1)
+        outs[bf16] = np.asarray(state.x, np.float64)
+        if bf16:
+            assert state.mem.s.dtype == jnp.bfloat16
+    flat = jnp.asarray(centers.reshape(-1, n), jnp.float32)
+    l32 = float(obj_fn(jnp.asarray(outs[False], jnp.float32), flat))
+    lbf = float(obj_fn(jnp.asarray(outs[True], jnp.float32), flat))
+    # both should be near the optimum; bf16 within 10% extra loss
+    assert lbf < max(1.1 * l32, l32 + 1e-3), (l32, lbf)

@@ -203,6 +203,12 @@ def test_sqn_matches_reference_c(reflib, rng, use_grad_diff):
                                                     (False, 0.0),
                                                     (True, 1.01)])
 def test_adaqn_matches_reference_c(reflib, rng, use_grad_diff, max_incr):
+    # min_curvature disabled: the Fisher-path curvature ||Fs||^2/(k||s||^2)
+    # legitimately dips below 1e-4 as gradients shrink, and the reference's
+    # rejection path then writes UNINITIALIZED heap memory into a live pair
+    # (the inverted backup/rollback bug, src/stochqn.c:589-604) — making
+    # its trajectory nondeterministic.  With the gate off neither side
+    # enters that path and parity is exact.
     n, steps, eta, L = 8, 140, 0.05, 5
     a, centers = _quad(rng, n)
     x0 = rng.standard_normal(n)
@@ -210,11 +216,12 @@ def test_adaqn_matches_reference_c(reflib, rng, use_grad_diff, max_incr):
     from stochqn_tpu.free import adaQN_free
     ours = adaQN_free(mem_size=4, fisher_size=10, bfgs_upd_freq=L,
                       max_incr=(max_incr if max_incr > 0 else None),
+                      min_curvature=None,
                       use_grad_diff=use_grad_diff)
     x_j = x0.copy()
     req_j = ours.run_optimizer(x_j, eta)
 
-    ws = reflib.initialize_adaQN(n, 4, 10, L, max_incr, 1e-4, 1e-4, 0.0,
+    ws = reflib.initialize_adaQN(n, 4, 10, L, max_incr, 0.0, 1e-4, 0.0,
                                  int(use_grad_diff), 0.0, 1, 1)
     x_c = x0.copy()
     grad_c = np.zeros(n)
