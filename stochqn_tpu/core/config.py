@@ -120,13 +120,16 @@ class AdaQNConfig:
     check_nan: bool = True
     h0_exact_reference: bool = True
     pairs_bf16: bool = False     # see OLBFGSConfig.pairs_bf16
+    # Use the Pallas fused projection kernel for the per-step diagonal-H0
+    # two-loop (single VMEM-resident pass computing W g, (Y*D) g, (Y*D) Y^T).
+    use_pallas: bool = False
 
     @classmethod
     def create(cls, mem_size=10, fisher_size=100, bfgs_upd_freq=20,
                max_incr=1.01, min_curvature=1e-4, scal_reg=1e-4,
                rmsprop_weight=None, y_reg=None, use_grad_diff=False,
                check_nan=True, h0_exact_reference=True,
-               pairs_bf16=False) -> "AdaQNConfig":
+               pairs_bf16=False, use_pallas=False) -> "AdaQNConfig":
         if mem_size <= 0 or bfgs_upd_freq <= 0:
             raise ValueError("'mem_size' and 'bfgs_upd_freq' must be positive")
         # Reference: fisher_size=None forces use_grad_diff
@@ -157,4 +160,5 @@ class AdaQNConfig:
             check_nan=bool(check_nan),
             h0_exact_reference=bool(h0_exact_reference),
             pairs_bf16=bool(pairs_bf16),
+            use_pallas=bool(use_pallas),
         )

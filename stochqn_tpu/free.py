@@ -167,6 +167,16 @@ class _StochQNFree:
     def _requested_on(self, task: Task, section: int):
         raise NotImplementedError
 
+    def __repr__(self):
+        """Human-readable summary (the analogue of the reference's
+        ``print.*_free`` S3 methods, ``R/optimizers_free.R:688-735``)."""
+        name = type(self).__name__
+        cfg = ", ".join(f"{f}={getattr(self._cfg, f)!r}"
+                        for f in self._cfg.__dataclass_fields__)
+        status = ("not yet initialized" if self._n is None else
+                  f"n={self._n}, iteration {self.niter}")
+        return f"{name}({cfg}) [{status}, backend={self.backend}]"
+
 
 class oLBFGS_free(_StochQNFree):
     """oLBFGS in free mode.  Request order (reference docstring,

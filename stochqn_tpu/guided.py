@@ -338,6 +338,11 @@ class _GuidedBase:
     def _saves_batches(self) -> bool:
         return False
 
+    def __repr__(self):
+        return (f"{type(self).__name__}(n={self.n}, "
+                f"batches_per_epoch={self.batches_per_epoch}, "
+                f"step_size={self.step_size}, iteration {self.niter})")
+
 
 class oLBFGS(_GuidedBase):
     """Guided oLBFGS (reference: ``stochqn/_optimizers.py:416-522``)."""

@@ -13,7 +13,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from stochqn_tpu.core.state import BFGSMemory, FisherMemory
 from stochqn_tpu.core.enums import Info
@@ -147,10 +146,18 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     rho = validf / jnp.where(valid, sy_diag, jnp.ones_like(sy_diag))
 
     eye = jnp.eye(m, dtype=acc_t)
-    bwd = eye + jnp.triu(rho[:, None] * sy, k=1)
-    bwd_inv = solve_triangular(bwd, eye, lower=False)
+    ru = jnp.triu(rho[:, None] * sy, k=1)
     rl = jnp.tril(rho[:, None] * sy.T, k=-1)
-    fwd_inv = solve_triangular(eye + rl, eye, lower=True)
+    # (I + N)^{-1} for strictly-triangular (nilpotent) N via Horner-Neumann:
+    # X <- I - N X, exact after m-1 steps.  Unrolled small matmuls beat
+    # XLA's sequential triangular-solve loop inside a scan (op count).
+    bwd_inv = eye
+    fwd_inv = eye
+    for _ in range(m - 1):
+        bwd_inv = eye - jnp.matmul(ru, bwd_inv,
+                                   preferred_element_type=acc_t)
+        fwd_inv = eye - jnp.matmul(rl, fwd_inv,
+                                   preferred_element_type=acc_t)
 
     has_pairs = count > 0
     last = jnp.maximum(count - 1, 0)
