@@ -27,6 +27,10 @@
 #include <cstdint>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace stochqn_native {
 
 enum class Task : int {
@@ -57,15 +61,37 @@ struct Request {
 
 namespace detail {
 
+// Parallelize vector kernels only when n is large enough that threads pay
+// for themselves — the reference applied the same gating idea
+// (src/stochqn.c:208: `if(n > 1e7 && nthreads > 4)`).
+constexpr std::size_t kParallelThreshold = 1u << 20;
+
 template <class Real>
 inline Real dot(const Real* a, const Real* b, std::size_t n) {
   Real s = 0;
+#ifdef _OPENMP
+  if (n >= kParallelThreshold) {
+    double acc = 0.0;
+#pragma omp parallel for reduction(+ : acc) schedule(static)
+    for (long long i = 0; i < static_cast<long long>(n); ++i)
+      acc += static_cast<double>(a[i]) * static_cast<double>(b[i]);
+    return static_cast<Real>(acc);
+  }
+#endif
   for (std::size_t i = 0; i < n; ++i) s += a[i] * b[i];
   return s;
 }
 
 template <class Real>
 inline void axpy(Real a, const Real* x, Real* y, std::size_t n) {
+#ifdef _OPENMP
+  if (n >= kParallelThreshold) {
+#pragma omp parallel for schedule(static)
+    for (long long i = 0; i < static_cast<long long>(n); ++i)
+      y[i] += a * x[i];
+    return;
+  }
+#endif
   for (std::size_t i = 0; i < n; ++i) y[i] += a * x[i];
 }
 

@@ -32,6 +32,7 @@ def _build_library() -> str:
     src = os.path.join(_NATIVE_DIR, "src", "capi.cpp")
     inc = os.path.join(_NATIVE_DIR, "include")
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-fopenmp",
            f"-I{inc}", src, "-o", _LIB_PATH]
     subprocess.run(cmd, check=True, capture_output=True)
     return _LIB_PATH
