@@ -313,9 +313,10 @@ class OLBFGS {
         return req;
       }
       case Phase::Pair: {
-        std::vector<Real> y(n_);
-        for (std::size_t i = 0; i < n_; ++i) y[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(y.data());
+        grad_diff_.resize(n_);
+        for (std::size_t i = 0; i < n_; ++i)
+          grad_diff_[i] = grad[i] - grad_prev_[i];
+        const bool ok = mem_.try_commit(grad_diff_.data());
         if (!ok && opt_.min_curvature > 0) req.info = Info::CurvatureTooSmall;
         phase_ = Phase::Step;
         req.task = Task::CalcGrad;
@@ -341,7 +342,7 @@ class OLBFGS {
   Options opt_;
   PairMemory<Real> mem_;
   TwoLoopScratch<Real> scratch_;
-  std::vector<Real> grad_prev_, dir_;
+  std::vector<Real> grad_prev_, dir_, grad_diff_;
   Phase phase_ = Phase::Start;
   long niter_ = 0;
 };
@@ -385,9 +386,10 @@ class SQN {
         for (std::size_t i = 0; i < n_; ++i) grad_prev_[i] = grad[i];
         return resume(req, x);
       case Phase::PairGradDiff: {
-        std::vector<Real> y(n_);
-        for (std::size_t i = 0; i < n_; ++i) y[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(y.data());
+        grad_diff_.resize(n_);
+        for (std::size_t i = 0; i < n_; ++i)
+          grad_diff_[i] = grad[i] - grad_prev_[i];
+        const bool ok = mem_.try_commit(grad_diff_.data());
         if (ok) {
           for (std::size_t i = 0; i < n_; ++i) {
             grad_prev_[i] = grad[i];
@@ -481,7 +483,7 @@ class SQN {
   Options opt_;
   PairMemory<Real> mem_;
   TwoLoopScratch<Real> scratch_;
-  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, dir_;
+  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, dir_, grad_diff_;
   Phase phase_ = Phase::Start;
   long niter_ = 0;
 };
@@ -541,9 +543,10 @@ class AdaQN {
         f_prev_ = f;
         return resume(req, x);
       case Phase::PairGradDiff: {
-        std::vector<Real> y(n_);
-        for (std::size_t i = 0; i < n_; ++i) y[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(y.data());
+        grad_diff_.resize(n_);
+        for (std::size_t i = 0; i < n_; ++i)
+          grad_diff_[i] = grad[i] - grad_prev_[i];
+        const bool ok = mem_.try_commit(grad_diff_.data());
         if (ok) {
           for (std::size_t i = 0; i < n_; ++i) grad_prev_[i] = grad[i];
           // x_avg_prev deliberately NOT refreshed (reference quirk,
@@ -577,9 +580,9 @@ class AdaQN {
   }
 
   Request<Real> commit_fisher(Request<Real>& req, Real* x) {
-    std::vector<Real> y(n_);
-    fisher_.product(mem_.pending(), y.data());
-    const bool ok = mem_.try_commit(y.data());
+    grad_diff_.resize(n_);
+    fisher_.product(mem_.pending(), grad_diff_.data());
+    const bool ok = mem_.try_commit(grad_diff_.data());
     if (ok) {
       for (std::size_t i = 0; i < n_; ++i) x_avg_prev_[i] = x_sum_[i];
     } else if (opt_.min_curvature > 0) {
@@ -699,7 +702,8 @@ class AdaQN {
   PairMemory<Real> mem_;
   FisherMemory<Real> fisher_;
   TwoLoopScratch<Real> scratch_;
-  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, grad_sum_sq_, h0_, dir_;
+  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, grad_sum_sq_, h0_,
+      dir_, grad_diff_;
   Phase phase_ = Phase::Start;
   long niter_ = 0;
   Real f_prev_ = 0;

@@ -35,6 +35,7 @@ extern "C" {
   void* sqn_native_olbfgs_create_##SUFFIX(                                   \
       std::size_t n, std::size_t mem_size, REAL hess_init,                   \
       REAL min_curvature, REAL y_reg, int check_nan) {                       \
+    if (n == 0 || mem_size == 0) return nullptr;                             \
     typename OLBFGS<REAL>::Options o;                                        \
     o.mem_size = mem_size;                                                   \
     o.hess_init = hess_init;                                                 \
@@ -66,6 +67,7 @@ DEFINE_OLBFGS(f32, float)
   void* sqn_native_sqn_create_##SUFFIX(                                      \
       std::size_t n, std::size_t mem_size, std::size_t upd_freq,             \
       REAL min_curvature, REAL y_reg, int use_grad_diff, int check_nan) {    \
+    if (n == 0 || mem_size == 0 || upd_freq == 0) return nullptr;            \
     typename SQN<REAL>::Options o;                                           \
     o.mem_size = mem_size;                                                   \
     o.upd_freq = upd_freq;                                                   \
@@ -101,6 +103,9 @@ DEFINE_SQN(f32, float)
       std::size_t upd_freq, REAL max_incr, REAL min_curvature,               \
       REAL scal_reg, REAL rmsprop_weight, REAL y_reg, int use_grad_diff,     \
       int check_nan, int h0_exact_reference) {                               \
+    if (n == 0 || mem_size == 0 || upd_freq == 0 ||                          \
+        (use_grad_diff == 0 && fisher_size == 0))                            \
+      return nullptr;                                                        \
     typename AdaQN<REAL>::Options o;                                         \
     o.mem_size = mem_size;                                                   \
     o.fisher_size = fisher_size;                                             \

@@ -39,12 +39,13 @@ from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig, SQNConfig
 from stochqn_tpu.core.enums import INFO_NAMES, TASK_NAMES, Info, Task
 
 
-def _resolve_dtype(use_float: bool, dtype) -> jnp.dtype:
+def _resolve_dtype(use_float: bool, dtype, backend: str = "jax") -> jnp.dtype:
     if dtype is not None:
         return jnp.dtype(dtype)
     if use_float:
         return jnp.dtype(jnp.float32)
-    if jax.config.jax_enable_x64:
+    if backend == "native" or jax.config.jax_enable_x64:
+        # the C++ tier supports float64 natively, independent of JAX x64
         return jnp.dtype(jnp.float64)
     warnings.warn(
         "use_float=False requests float64 but jax x64 mode is disabled; "
@@ -121,7 +122,9 @@ class _StochQNFree:
             info = Info(info_i)
             niter = self._native.niter
             if isinstance(x, np.ndarray) and x.size == self._n:
-                np.copyto(x.reshape(-1), self._native.x.astype(x.dtype))
+                # copy into x's own memory (reshape(-1) could be a copy for
+                # non-contiguous views)
+                np.copyto(x, self._native.x.astype(x.dtype).reshape(x.shape))
             if task == Task.CALC_HESS_VEC:
                 requested_on = (req_out.copy(), req_vec_out.copy())
             else:
@@ -139,8 +142,8 @@ class _StochQNFree:
             section = int(new_state.section)
 
             if isinstance(x, np.ndarray) and x.size == self._n:
-                np.copyto(x.reshape(-1),
-                          np.asarray(self.state.x, dtype=x.dtype))
+                np.copyto(x, np.asarray(self.state.x,
+                                        dtype=x.dtype).reshape(x.shape))
             requested_on = self._requested_on(task, section)
 
         return {
@@ -195,7 +198,7 @@ class oLBFGS_free(_StochQNFree):
                  dtype=None, backend="jax"):
         super().__init__(backend)
         del nthreads  # parallelism is XLA's (or the compiler's) job here
-        self.dtype = _resolve_dtype(use_float, dtype)
+        self.dtype = _resolve_dtype(use_float, dtype, backend)
         self._cfg = OLBFGSConfig.create(
             mem_size=mem_size, hess_init=hess_init,
             min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan)
@@ -230,7 +233,7 @@ class SQN_free(_StochQNFree):
                  use_float=False, dtype=None, backend="jax"):
         super().__init__(backend)
         del nthreads
-        self.dtype = _resolve_dtype(use_float, dtype)
+        self.dtype = _resolve_dtype(use_float, dtype, backend)
         self._cfg = SQNConfig.create(
             mem_size=mem_size, bfgs_upd_freq=bfgs_upd_freq,
             min_curvature=min_curvature, y_reg=y_reg,
@@ -300,7 +303,7 @@ class adaQN_free(_StochQNFree):
                  h0_exact_reference=True, backend="jax"):
         super().__init__(backend)
         del nthreads
-        self.dtype = _resolve_dtype(use_float, dtype)
+        self.dtype = _resolve_dtype(use_float, dtype, backend)
         self._cfg = AdaQNConfig.create(
             mem_size=mem_size, fisher_size=fisher_size,
             bfgs_upd_freq=bfgs_upd_freq, max_incr=max_incr,

@@ -28,14 +28,36 @@ _lib = None
 
 
 def _build_library() -> str:
+    if not os.path.isdir(_NATIVE_DIR):
+        raise RuntimeError(
+            "native C++ sources not found (the native backend requires a "
+            f"source checkout with the native/ directory; looked in "
+            f"{_NATIVE_DIR})")
     os.makedirs(_BUILD_DIR, exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "src", "capi.cpp")
     inc = os.path.join(_NATIVE_DIR, "include")
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
            "-fopenmp",
            f"-I{inc}", src, "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            "native library build failed:\n" + proc.stderr[-4000:])
     return _LIB_PATH
+
+
+def _sources_newer_than_lib() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for root, _dirs, files in os.walk(_NATIVE_DIR):
+        if os.path.abspath(root).startswith(os.path.abspath(_BUILD_DIR)):
+            continue
+        for f in files:
+            if f.endswith((".hpp", ".cpp", ".h")):
+                if os.path.getmtime(os.path.join(root, f)) > lib_mtime:
+                    return True
+    return False
 
 
 def load_library() -> ctypes.CDLL:
@@ -44,7 +66,7 @@ def load_library() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        if _sources_newer_than_lib():
             _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
         _configure(lib)
@@ -164,6 +186,8 @@ class NativeOLBFGS(_NativeBase):
         self._handle = self._fn("create")(
             self._n, mem_size, self._real(hess_init), self._real(min_curv),
             self._real(y_reg), check_nan)
+        if not self._handle:
+            raise ValueError("invalid native optimizer parameters")
 
     def run(self, step_size):
         task = self._fn("run")(
@@ -194,6 +218,8 @@ class NativeSQN(_NativeBase):
         mem, upd, mc, yr, ugd, cn = self._args
         self._handle = self._fn("create")(
             self._n, mem, upd, self._real(mc), self._real(yr), ugd, cn)
+        if not self._handle:
+            raise ValueError("invalid native optimizer parameters")
 
     def run(self, step_size):
         task = self._fn("run")(
@@ -228,6 +254,8 @@ class NativeAdaQN(_NativeBase):
         self._handle = self._fn("create")(
             self._n, mem, max(fs, 1), upd, self._real(mi), self._real(mc),
             self._real(sr), self._real(rw), self._real(yr), ugd, cn, h0ref)
+        if not self._handle:
+            raise ValueError("invalid native optimizer parameters")
 
     def run(self, step_size):
         task = self._fn("run")(
