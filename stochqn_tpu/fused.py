@@ -26,7 +26,10 @@ against them), with these documented differences:
     round-chunked layout: the round's batches) — the reference slices a
     contiguous chunk and falls back to a stored-batch container when
     misaligned (``stochqn/_optimizers.py:55-79``).  When aligned, the two
-    coincide.
+    coincide.  In the misaligned generic path the cyclic window can wrap
+    into this epoch's not-yet-consumed batches — the same shortcut the
+    reference's ``_get_long_batch`` takes ("it's faster to just take a
+    larger continuous sample", ``stochqn/_optimizers.py:66-69``).
   * Epoch shuffling uses ``jax.random.permutation`` on device rather than
     host-side numpy shuffling.
 
@@ -364,6 +367,16 @@ class FusedTrainer:
             return jax.lax.scan(body, state, data)
 
         chunked = (num_batches % L == 0 and num_batches >= L)
+        # The chunked layout requires boundaries to land at round ends,
+        # i.e. niter % L == 0 at epoch start.  When the state is concrete
+        # (epoch called outside jit) verify it; under tracing the caller
+        # owns the contract (true for fresh states + aligned epochs).
+        if chunked:
+            try:
+                chunked = int(state.niter) % L == 0
+            except (TypeError, jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                pass
         if chunked:
             return self._epoch_chunked(state, data, step_size, num_batches,
                                        L)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from stochqn_tpu.core.state import BFGSMemory, FisherMemory
 from stochqn_tpu.core.enums import Info
+from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm
 
 
 def direction_is_bad(direction: jax.Array) -> jax.Array:
@@ -95,7 +96,8 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     gram_t = mem.gram.dtype
     w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
     p = jnp.matmul(w_new, jnp.stack([row_s, row_y], axis=1),
-                   preferred_element_type=gram_t)            # [2m, 2]
+                   preferred_element_type=gram_t,
+                   precision=PRECISION)                      # [2m, 2]
     gram = mem.gram
     gram = jax.lax.dynamic_update_index_in_dim(
         gram, p[:, 0].astype(gram_t), mem.head, axis=1)
@@ -134,8 +136,7 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     """
     m = mem_size
     acc_t = gram.dtype
-    start = jnp.mod(head - count, m)
-    perm = jnp.mod(start + jnp.arange(m, dtype=jnp.int32), m)
+    perm = _chrono_perm(m, head, count)
     cidx = jnp.arange(m, dtype=jnp.int32)
     valid = cidx < count
     validf = valid.astype(acc_t)
@@ -155,9 +156,11 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     fwd_inv = eye
     for _ in range(m - 1):
         bwd_inv = eye - jnp.matmul(ru, bwd_inv,
-                                   preferred_element_type=acc_t)
+                                   preferred_element_type=acc_t,
+                                   precision=PRECISION)
         fwd_inv = eye - jnp.matmul(rl, fwd_inv,
-                                   preferred_element_type=acc_t)
+                                   preferred_element_type=acc_t,
+                                   precision=PRECISION)
 
     has_pairs = count > 0
     last = jnp.maximum(count - 1, 0)
@@ -180,10 +183,12 @@ def fisher_y(fisher: FisherMemory, s: jax.Array) -> jax.Array:
     product is one ``psum`` of a length-``k`` vector over ICI.
     """
     acc_t = jnp.promote_types(s.dtype, jnp.float32)
-    fs = jnp.matmul(fisher.f, s, preferred_element_type=acc_t)   # [k]
+    fs = jnp.matmul(fisher.f, s, preferred_element_type=acc_t,
+                    precision=PRECISION)                          # [k]
     k = jnp.arange(fisher.f.shape[0], dtype=jnp.int32)
     fs = jnp.where(k < fisher.count, fs, jnp.zeros_like(fs))
     y = jnp.matmul(fs, fisher.f.astype(acc_t),
-                   preferred_element_type=acc_t)                  # [n]
+                   preferred_element_type=acc_t,
+                   precision=PRECISION)                           # [n]
     denom = jnp.maximum(fisher.count, 1).astype(acc_t)
     return (y / denom).astype(s.dtype)

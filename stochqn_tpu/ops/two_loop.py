@@ -47,6 +47,11 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# TPU matmuls default to bfloat16 input rounding; the quasi-Newton small
+# quantities (rho, Gram, triangular systems) need true float32, and the
+# cost is irrelevant (these ops are bandwidth-, not FLOP-, bound).
+PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _chrono_perm(mem_size: int, head: jax.Array, count: jax.Array) -> jax.Array:
     """Storage row of the c-th oldest pair, for c = 0..mem_size-1."""
@@ -106,7 +111,8 @@ def two_loop(
     valid = (cidx < count)
     validf = valid.astype(acc_t)
 
-    pallas_ok = use_pallas and dtype == jnp.float32
+    pallas_ok = (use_pallas and dtype == jnp.float32
+                 and s_mem.dtype == jnp.float32)
     yd_g_st = ydy_st = None
     if pallas_ok:
         from stochqn_tpu.ops.pallas import two_loop_kernel as tlk
@@ -116,7 +122,8 @@ def two_loop(
             wg = wg.astype(acc_t)
             if gram is None:
                 w = jnp.concatenate([s_mem, y_mem], axis=0)
-                gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)
+                gram = jnp.matmul(w, w.T, preferred_element_type=acc_t,
+                    precision=PRECISION)
             else:
                 gram = gram.astype(acc_t)
         elif gram is None:
@@ -126,13 +133,16 @@ def two_loop(
             gram = gram.astype(acc_t)
         else:
             w = jnp.concatenate([s_mem, y_mem], axis=0)
-            wg = jnp.matmul(w, grad, preferred_element_type=acc_t)
+            wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
+                    precision=PRECISION)
             gram = gram.astype(acc_t)
     else:
         w = jnp.concatenate([s_mem, y_mem], axis=0)            # [2m, n]
-        wg = jnp.matmul(w, grad, preferred_element_type=acc_t)  # [2m]
+        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
+                    precision=PRECISION)  # [2m]
         if gram is None:
-            gram = jnp.matmul(w, w.T, preferred_element_type=acc_t)
+            gram = jnp.matmul(w, w.T, preferred_element_type=acc_t,
+                    precision=PRECISION)
         else:
             gram = gram.astype(acc_t)
 
@@ -167,20 +177,25 @@ def two_loop(
                 jnp.ones_like(sy_last))
         gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
         # Y r0 = gamma * (Y g - Y Y^T alpha), all chronological.
-        y_r0 = gamma * (yg - jnp.matmul(yy, alpha, preferred_element_type=acc_t))
+        y_r0 = gamma * (yg - jnp.matmul(yy, alpha, preferred_element_type=acc_t,
+                    precision=PRECISION))
     else:
         if yd_g_st is None:
             yd = y_mem * diag[None, :].astype(dtype)
-            yd_g_st = jnp.matmul(yd, grad, preferred_element_type=acc_t)
-            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t)
+            yd_g_st = jnp.matmul(yd, grad, preferred_element_type=acc_t,
+                    precision=PRECISION)
+            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t,
+                    precision=PRECISION)
         yd_g = yd_g_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
-        y_r0 = yd_g - jnp.matmul(ydy, alpha, preferred_element_type=acc_t)
+        y_r0 = yd_g - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     # Forward pass: unit-lower-triangular solve for beta.
     ys = sy.T                                   # ys[c, d] = y_c . s_d
     lower = jnp.tril(rho[:, None] * ys, k=-1)
-    rhs = rho * y_r0 + jnp.matmul(lower, alpha, preferred_element_type=acc_t)
+    rhs = rho * y_r0 + jnp.matmul(lower, alpha, preferred_element_type=acc_t,
+                    precision=PRECISION)
     beta = solve_triangular(
         jnp.eye(m, dtype=acc_t) + lower, rhs,
         lower=True, unit_diagonal=False)
@@ -190,8 +205,10 @@ def two_loop(
     inv_perm_coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
     inv_perm_alpha = jnp.zeros((m,), acc_t).at[perm].set(alpha)
 
-    st_alpha_y = jnp.matmul(inv_perm_alpha, y_mem, preferred_element_type=acc_t)
-    st_coeff_s = jnp.matmul(inv_perm_coeff_s, s_mem, preferred_element_type=acc_t)
+    st_alpha_y = jnp.matmul(inv_perm_alpha, y_mem, preferred_element_type=acc_t,
+                    precision=PRECISION)
+    st_coeff_s = jnp.matmul(inv_perm_coeff_s, s_mem, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     g_acc = grad.astype(acc_t)
     if diag is None:
@@ -241,7 +258,8 @@ def two_loop_cached(
     has_pairs = count > 0
 
     ydg_st = ydy_st = None
-    pallas_ok = use_pallas and dtype == jnp.float32
+    pallas_ok = (use_pallas and dtype == jnp.float32
+                 and s_mem.dtype == jnp.float32)
     if pallas_ok and diag is not None:
         from stochqn_tpu.ops.pallas import two_loop_kernel as tlk
         wg, ydg_st, ydy_st = tlk.project_adaqn(
@@ -249,13 +267,15 @@ def two_loop_cached(
         wg = wg.astype(acc_t)
     else:
         w = jnp.concatenate([s_mem, y_mem], axis=0)
-        wg = jnp.matmul(w, grad, preferred_element_type=acc_t)
+        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     sg = wg[:m][perm]
     yg = wg[m:][perm]
 
     alpha = jnp.matmul(mem.bwd_inv, mem.rho * sg,
-                       preferred_element_type=acc_t)
+                       preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     if diag is None:
         if h0 > 0:
@@ -264,25 +284,33 @@ def two_loop_cached(
             gamma = mem.gamma
         gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
         y_r0 = gamma * (yg - jnp.matmul(mem.yy_c, alpha,
-                                        preferred_element_type=acc_t))
+                                        preferred_element_type=acc_t,
+                    precision=PRECISION))
     else:
         if ydg_st is None:
             yd = y_mem * diag[None, :].astype(dtype)
-            ydg_st = jnp.matmul(yd, grad, preferred_element_type=acc_t)
-            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t)
+            ydg_st = jnp.matmul(yd, grad, preferred_element_type=acc_t,
+                    precision=PRECISION)
+            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t,
+                    precision=PRECISION)
         ydg = ydg_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
-        y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t)
+        y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     rhs = mem.rho * y_r0 + jnp.matmul(mem.rl_c, alpha,
-                                      preferred_element_type=acc_t)
-    beta = jnp.matmul(mem.fwd_inv, rhs, preferred_element_type=acc_t)
+                                      preferred_element_type=acc_t,
+                    precision=PRECISION)
+    beta = jnp.matmul(mem.fwd_inv, rhs, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
     alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
 
-    st_alpha_y = jnp.matmul(alpha_st, y_mem, preferred_element_type=acc_t)
-    st_coeff_s = jnp.matmul(coeff_s, s_mem, preferred_element_type=acc_t)
+    st_alpha_y = jnp.matmul(alpha_st, y_mem, preferred_element_type=acc_t,
+                    precision=PRECISION)
+    st_coeff_s = jnp.matmul(coeff_s, s_mem, preferred_element_type=acc_t,
+                    precision=PRECISION)
 
     g_acc = grad.astype(acc_t)
     if diag is None:

@@ -25,6 +25,15 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     if num_processes is not None and num_processes <= 1:
         return
+    if (num_processes is None and coordinator_address is None
+            and process_id is None):
+        # default call: auto-detect a managed cluster (Cloud TPU/GKE);
+        # genuinely single-process environments are a no-op
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return
+        return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -19,14 +19,15 @@ import numpy as np
 import jax
 
 
+def _path_key(path):
+    return "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
+                    for p in path)
+
+
 def _flatten_with_paths(state):
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(state)[0]
-    out = {}
-    for path, leaf in leaves_with_paths:
-        key = "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
-                       for p in path)
-        out[key] = np.asarray(leaf)
-    return out
+    return {_path_key(path): np.asarray(leaf)
+            for path, leaf in leaves_with_paths}
 
 
 def save_state(path: str, state) -> None:
@@ -39,23 +40,28 @@ def load_state(path: str, template):
     shardings, via the template's leaves) of ``template``."""
     with np.load(path) as data:
         flat = dict(data)
-    saved = _flatten_with_paths(template)
-    if set(saved) != set(flat):
-        missing = set(saved) ^ set(flat)
+
+    # Template leaves are consulted for metadata (paths, shapes, dtypes,
+    # shardings) only — never materialized to host, so multi-GB or
+    # multi-host sharded templates work.
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    keys = {_path_key(path) for path, _ in leaves_with_paths}
+    if keys != set(flat):
+        missing = keys ^ set(flat)
         raise ValueError(f"checkpoint structure mismatch: {sorted(missing)}")
 
-    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
     new_leaves = []
     for path, leaf in leaves_with_paths:
-        key = "/".join(str(getattr(p, "name", getattr(p, "idx", p)))
-                       for p in path)
+        key = _path_key(path)
         arr = flat[key]
-        if arr.shape != np.shape(leaf):
+        shape = tuple(getattr(leaf, "shape", np.shape(leaf)))
+        dtype = getattr(leaf, "dtype", np.asarray(leaf).dtype)
+        if arr.shape != shape:
             raise ValueError(
                 f"checkpoint leaf {key!r} has shape {arr.shape}, "
-                f"template has {np.shape(leaf)}")
+                f"template has {shape}")
         new_leaves.append(
-            jax.device_put(arr.astype(np.asarray(leaf).dtype),
+            jax.device_put(arr.astype(dtype),
                            getattr(leaf, "sharding", None)))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
