@@ -54,3 +54,25 @@ def test_two_loop_pallas_path_matches_xla(rng, with_diag):
                    pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-5, atol=1e-4)
+
+
+def test_bf16_pairs_with_pallas_falls_back(rng):
+    """pairs_bf16 + use_pallas must silently use the XLA path (the Mosaic
+    kernel is float32-only)."""
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+
+    n, m = 64, 3
+    mem = BFGSMemory.create(m, n, jnp.float32, storage_dtype=jnp.bfloat16)
+    for _ in range(3):
+        s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = s + 0.3 * jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        mem = mem.replace(s_pending=s)
+        mem, acc = commit_pair(mem, y, 1e-8, 0.0)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    d = jnp.asarray(rng.uniform(0.5, 1.5, n).astype(np.float32))
+    out_pallas_flag = two_loop_cached(g, mem, diag=d, use_pallas=True)
+    out_plain = two_loop_cached(g, mem, diag=d)
+    np.testing.assert_allclose(np.asarray(out_pallas_flag),
+                               np.asarray(out_plain), rtol=1e-6)

@@ -120,3 +120,25 @@ def test_fused_trainer_sharded_epoch_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(st_sh.x), np.asarray(st_plain.x),
                                rtol=1e-8, atol=1e-10)
     assert int(st_sh.niter) == B
+
+
+def test_param_sharded_two_loop_single_psum(rng):
+    """The compact two-loop's claim: under a sharded parameter axis the
+    projection needs ONE fused all-reduce (plus one for the guard norm),
+    not 4m sequential ones like the naive recursion."""
+    n, m = 512, 6
+    mesh = make_mesh(n_data=1, n_param=8)
+    s_mem = jnp.asarray(rng.standard_normal((m, n)))
+    y_mem = s_mem + 0.3 * jnp.asarray(rng.standard_normal((m, n)))
+    g = jnp.asarray(rng.standard_normal(n))
+
+    g_s = jax.device_put(g, param_sharding(mesh, 1))
+    s_s = jax.device_put(s_mem, param_sharding(mesh, 2))
+    y_s = jax.device_put(y_mem, param_sharding(mesh, 2))
+
+    fn = jax.jit(lambda g, s, y: two_loop(g, s, y, 0, m))
+    compiled = fn.lower(g_s, s_s, y_s).compile()
+    hlo = compiled.as_text()
+    n_allreduce = hlo.count("all-reduce-start") or hlo.count("all-reduce(")
+    # projection (Wg + Gram fused) should reduce in O(1) collectives
+    assert n_allreduce <= 3, f"{n_allreduce} all-reduces in param-sharded two_loop"
