@@ -59,10 +59,14 @@ class StochasticLogisticRegression:
 
     def __init__(self, reg_param=1e-3, fit_intercept=True, random_state=1,
                  optimizer="SQN", step_size=1e-1, valset_frac=0.1,
-                 verbose=False, dtype=jnp.float32, **optimizer_kwargs):
+                 verbose=False, dtype=jnp.float32, engine="protocol",
+                 **optimizer_kwargs):
         if optimizer not in ("oLBFGS", "SQN", "adaQN"):
             raise ValueError("'optimizer' must be one of 'oLBFGS', 'SQN', "
                              "'adaQN'")
+        if engine not in ("protocol", "fused"):
+            raise ValueError("'engine' must be 'protocol' or 'fused'")
+        self.engine = engine
         if step_size <= 0:
             raise ValueError("'step_size' must be positive")
         if reg_param < 0:
@@ -81,13 +85,21 @@ class StochasticLogisticRegression:
         self.nclasses: Optional[int] = None
         self._is_mult: Optional[bool] = None
         self.is_fitted = False
+        self._x_fused: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------ #
+    @property
+    def x_(self):
+        """Flat parameter vector, regardless of training engine."""
+        if self._x_fused is not None:
+            return self._x_fused
+        return None if self.optimizer is None else self.optimizer.x
+
     @property
     def coef_(self):
         if not self.is_fitted:
             return None
-        x = self.optimizer.x
+        x = self.x_
         if self._is_mult:
             w = x.reshape(self.nclasses, -1)
             return w[:, :-1] if self.fit_intercept else w
@@ -97,7 +109,7 @@ class StochasticLogisticRegression:
     def intercept_(self):
         if not self.is_fitted:
             return None
-        x = self.optimizer.x
+        x = self.x_
         if self._is_mult:
             if self.fit_intercept:
                 return x.reshape(self.nclasses, -1)[:, -1]
@@ -183,11 +195,116 @@ class StochasticLogisticRegression:
 
     # ------------------------------------------------------------------ #
     def fit(self, X, y, sample_weight=None):
-        """Fit in stochastic batches over multiple epochs."""
+        """Fit in stochastic batches over multiple epochs.
+
+        ``engine="fused"`` trains fully on-device (one jitted lax.scan per
+        epoch, device-side shuffling, jvp Hessian-vector products) —
+        typically orders of magnitude faster than the host-driven protocol
+        engine on accelerators."""
         X, y, sample_weight = self._check_inputs(X, y, sample_weight)
+        if self.engine == "fused":
+            return self._fit_fused(X, y, sample_weight)
         self._initialize_optimizer(X, y)
         self.optimizer.fit(X, y, sample_weight,
                            {"reg_param": self.reg_param})
+        self.is_fitted = True
+        return self
+
+    def _fit_fused(self, X, y, sample_weight):
+        import jax as _jax
+        from stochqn_tpu.core.config import (AdaQNConfig, OLBFGSConfig,
+                                             SQNConfig)
+        from stochqn_tpu.fused import FusedTrainer, batchify, shuffle_batched
+        from stochqn_tpu.utils.metrics import LossHistory
+
+        kw = dict(self.optimizer_kwargs)
+        dtype = kw.pop("dtype", jnp.float32)
+        step_size = kw.pop("step_size")
+        valset_frac = kw.pop("valset_frac", None)
+        verbose = kw.pop("verbose", False)
+        nepochs = kw.pop("nepochs", 25)
+        batches_per_epoch = kw.pop("batches_per_epoch", 25)
+        decr_step_size = kw.pop("decr_step_size", "auto")
+        tol = kw.pop("tol", 1e-1)
+        shuffle = kw.pop("shuffle_data", True)
+        kw.pop("random_state", None)
+        if decr_step_size == "auto":
+            from stochqn_tpu.utils.schedules import step_size_sqrt
+            decr = step_size_sqrt
+        elif decr_step_size is None:
+            decr = None
+        else:
+            decr = decr_step_size
+
+        self._is_mult = (y.ndim == 2)
+        self.nclasses = y.shape[1] if self._is_mult else 2
+        n_out = y.shape[1] if self._is_mult else 1
+        np.random.seed(self.random_state)
+        w0 = np.random.normal(
+            size=(X.shape[1] + self.fit_intercept) * n_out)
+
+        Xd = jnp.asarray(_densify(X), dtype)
+        if self._is_mult:
+            Yd = jnp.asarray(np.asarray(y), dtype)
+            grad_core = losses.multinomial_logistic_grad
+            loss_core = losses.multinomial_logistic_loss
+        else:
+            Yd = jnp.asarray(2.0 * (np.asarray(y) > 0) - 1.0, dtype)
+            grad_core = losses.binary_logistic_grad
+            loss_core = losses.binary_logistic_loss
+        Wd = jnp.asarray(sample_weight, dtype)
+        reg = self.reg_param
+
+        if valset_frac is not None:
+            n_rows = Xd.shape[0]
+            n_val = max(1, int(n_rows * valset_frac))
+            rng = np.random.default_rng(self.random_state)
+            perm = rng.permutation(n_rows)
+            val_idx, tr_idx = perm[:n_val], perm[n_val:]
+            X_val, Y_val, W_val = Xd[val_idx], Yd[val_idx], Wd[val_idx]
+            Xd, Yd, Wd = Xd[tr_idx], Yd[tr_idx], Wd[tr_idx]
+        else:
+            X_val = None
+
+        def grad_fn(x, batch):
+            Xb, Yb, wb = batch
+            return grad_core(x, Xb, Yb, wb, reg)
+
+        def obj_fn(x, batch):
+            Xb, Yb, wb = batch
+            return loss_core(x, Xb, Yb, wb, reg)
+
+        cfg_cls = {"oLBFGS": OLBFGSConfig, "SQN": SQNConfig,
+                   "adaQN": AdaQNConfig}[self.optimizer_name]
+        cfg = cfg_cls.create(**kw)
+        trainer = FusedTrainer(self.optimizer_name, cfg, grad_fn,
+                               obj_fn=obj_fn)
+        state = trainer.init(jnp.asarray(w0, dtype))
+
+        batch_size = max(1, Xd.shape[0] // int(batches_per_epoch))
+        data = batchify((Xd, Yd, Wd), batch_size)
+        epoch_fn = _jax.jit(trainer.epoch)
+        if X_val is not None:
+            val_loss = _jax.jit(
+                lambda x: loss_core(x, X_val, Y_val, W_val, reg))
+            history = LossHistory(tol)
+        key = _jax.random.PRNGKey(self.random_state)
+        for epoch in range(int(nepochs)):
+            eta = step_size if decr is None else decr(step_size, epoch)
+            d = data
+            if shuffle:
+                key, sub = _jax.random.split(key)
+                d = shuffle_batched(data, sub)
+            state, _ = epoch_fn(state, d, jnp.asarray(eta, dtype))
+            if X_val is not None:
+                lv = float(val_loss(state.x))
+                if verbose:
+                    print(f"{self.optimizer_name} - epoch {epoch + 1:2d}, "
+                          f"val f(x): {lv:.6f}")
+                if history.update(lv):
+                    break
+        self._x_fused = np.asarray(state.x, np.float64)
+        self._fused_state = state
         self.is_fitted = True
         return self
 
@@ -213,15 +330,21 @@ class StochasticLogisticRegression:
 
     def predict(self, X):
         """Predicted class index per row."""
-        proba = self.optimizer.predict(X)
+        proba = self._predict_proba_raw(X)
         if self._is_mult:
             return np.argmax(proba, axis=1)
         return (proba >= 0.5).astype(np.uint8)
 
+    def _predict_proba_raw(self, X):
+        if self.engine == "fused" or self.optimizer is None:
+            x = np.asarray(self.x_)
+            return self._pred_fun()(x, X)
+        return self.optimizer.predict(X)
+
     def predict_proba(self, X):
         """Class scores per row (reference semantics: per-class sigmoid for
         multinomial, ``stochqn/_logistic.py:14-20``)."""
-        proba = self.optimizer.predict(X)
+        proba = self._predict_proba_raw(X)
         if self._is_mult:
             return proba
         proba = proba.reshape(-1, 1)

@@ -119,3 +119,42 @@ def test_digits_multinomial_partial_fit():
     assert acc > 0.85, f"multinomial digits accuracy {acc}"
     assert clf.coef_.shape == (10, 64)
     assert clf.intercept_.shape == (10,)
+
+
+@pytest.mark.parametrize("optimizer", ["oLBFGS", "SQN", "adaQN"])
+def test_digits_fused_engine(optimizer):
+    """engine='fused': on-device training of the model class reaches the
+    same quality as the protocol engine."""
+    from sklearn.datasets import load_digits
+    digits = load_digits()
+    X = digits.data / 16.0
+    y = (digits.target >= 5).astype(np.float64)
+
+    clf = StochasticLogisticRegression(
+        reg_param=1e-3, optimizer=optimizer, step_size=1.0,
+        valset_frac=0.15, tol=1e-4, verbose=False, nepochs=15,
+        batches_per_epoch=20, random_state=1, dtype=np.float64,
+        engine="fused",
+        **({"bfgs_upd_freq": 10} if optimizer != "oLBFGS" else {}))
+    clf.fit(X, y)
+    acc = (clf.predict(X) == y).mean()
+    assert acc > 0.84, f"{optimizer} fused digits accuracy {acc}"
+    assert clf.coef_.shape == (64,)
+    proba = clf.predict_proba(X[:5])
+    assert proba.shape == (5, 2)
+
+
+def test_digits_fused_multinomial():
+    from sklearn.datasets import load_digits
+    digits = load_digits()
+    X = digits.data / 16.0
+    Y = np.eye(10)[digits.target]
+
+    clf = StochasticLogisticRegression(
+        reg_param=1e-3, optimizer="SQN", step_size=1.0, valset_frac=None,
+        verbose=False, nepochs=10, batches_per_epoch=20, bfgs_upd_freq=5,
+        dtype=np.float64, engine="fused")
+    clf.fit(X, Y)
+    acc = (clf.predict(X) == digits.target).mean()
+    assert acc > 0.85, f"fused multinomial digits accuracy {acc}"
+    assert clf.coef_.shape == (10, 64)
