@@ -484,5 +484,9 @@ def batchify(data, batch_size):
     def rs(a):
         n = a.shape[0]
         nb = n // batch_size
+        if nb == 0:
+            raise ValueError(
+                f"batch_size={batch_size} exceeds the {n} available rows — "
+                "no batches would be produced")
         return a[:nb * batch_size].reshape((nb, batch_size) + a.shape[1:])
     return jax.tree_util.tree_map(rs, data)

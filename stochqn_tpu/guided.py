@@ -39,14 +39,7 @@ except Exception:  # pragma: no cover - scipy is baked into the image
     sp_vstack = None
 
 from stochqn_tpu.free import SQN_free, adaQN_free, oLBFGS_free
-
-
-def step_size_sqrt(initial_step_size: float, k: int) -> float:
-    return initial_step_size / np.sqrt(k + 1)
-
-
-def step_size_const(initial_step_size: float, k: int) -> float:
-    return initial_step_size
+from stochqn_tpu.utils.schedules import step_size_const, step_size_sqrt
 
 
 def _resolve_schedule(decr_step_size):
@@ -174,7 +167,7 @@ class _GuidedBase:
             if any(w is None for w in self._stored_w):
                 warnings.warn("Some stored batches lack sample weights; "
                               "missing weights are set to 1.")
-            filled = [np.ones(np.asarray(Xb).shape[0]) if wb is None else wb
+            filled = [np.ones(Xb.shape[0]) if wb is None else wb
                       for Xb, wb in zip(self._stored_X, self._stored_w)]
             w = self._stack(filled)
         self._reset_saved_batch()
@@ -256,9 +249,19 @@ class _GuidedBase:
                 break
 
     # -- public drivers ---------------------------------------------------- #
+    @staticmethod
+    def _ensure_csr(X):
+        """Sparse inputs must be CSR for row slicing/shuffling
+        (reference: ``_check_sp_type``, ``stochqn/_optimizers.py:48-53``)."""
+        if issparse(X) and X.format != "csr":
+            warnings.warn("Sparse inputs are cast to CSR for row access.")
+            return X.tocsr()
+        return X
+
     def fit(self, X, y, sample_weight=None, additional_kwargs={}, valset=None):
         """Fit over ``nepochs`` epochs of ``batches_per_epoch`` batches,
         optionally early-stopping on a validation objective."""
+        X, y = self._ensure_csr(X), self._ensure_csr(y)
         if X.shape[0] <= 0 or X.shape[0] != y.shape[0]:
             raise ValueError("X and y must have matching, nonzero rows")
         if sample_weight is not None and sample_weight.shape[0] != X.shape[0]:
@@ -329,6 +332,7 @@ class _GuidedBase:
         For SQN (and adaQN with ``use_grad_diff`` or ``max_incr``) the batch
         is retained in a stored-batch container that serves future big-batch
         / Hessian-vector requests (``stochqn/_optimizers.py:288-337``)."""
+        X, y = self._ensure_csr(X), self._ensure_csr(y)
         if self._saves_batches():
             self._save_batch(X, y, sample_weight)
         self._fit_batch(X, y, sample_weight, additional_kwargs,

@@ -38,14 +38,6 @@ def _densify(X):
     return np.asarray(X.todense()) if issparse(X) else np.asarray(X)
 
 
-def _np(fun):
-    """Wrap a jitted JAX fn so it eats/returns numpy (protocol engine)."""
-    def wrapped(*args, **kwargs):
-        out = fun(*args, **kwargs)
-        return np.asarray(out)
-    return wrapped
-
-
 class StochasticLogisticRegression:
     """Logistic regression (binary or multinomial) trained with oLBFGS, SQN,
     or adaQN.
@@ -177,10 +169,16 @@ class StochasticLogisticRegression:
         self._is_mult = (y.ndim == 2)
         self.nclasses = y.shape[1] if self._is_mult else 2
         obj_fun, grad_fun, hess_vec_fun = self._build_funs()
-        np.random.seed(self.random_state)
         n_out = y.shape[1] if self._is_mult else 1
-        w0 = np.random.normal(
-            size=(X.shape[1] + self.fit_intercept) * n_out)
+        if self._x_fused is not None:
+            # hand fused-trained weights to the protocol optimizer so
+            # partial_fit continues the same model
+            w0 = np.asarray(self._x_fused)
+            self._x_fused = None
+        else:
+            np.random.seed(self.random_state)
+            w0 = np.random.normal(
+                size=(X.shape[1] + self.fit_intercept) * n_out)
         kwargs = dict(self.optimizer_kwargs)
         common = dict(x0=w0, grad_fun=grad_fun, obj_fun=obj_fun,
                       pred_fun=self._pred_fun(),
@@ -239,9 +237,12 @@ class StochasticLogisticRegression:
         self._is_mult = (y.ndim == 2)
         self.nclasses = y.shape[1] if self._is_mult else 2
         n_out = y.shape[1] if self._is_mult else 1
-        np.random.seed(self.random_state)
-        w0 = np.random.normal(
-            size=(X.shape[1] + self.fit_intercept) * n_out)
+        if self._x_fused is not None:
+            w0 = self._x_fused        # warm start (matches protocol engine)
+        else:
+            np.random.seed(self.random_state)
+            w0 = np.random.normal(
+                size=(X.shape[1] + self.fit_intercept) * n_out)
 
         Xd = jnp.asarray(_densify(X), dtype)
         if self._is_mult:

@@ -115,7 +115,8 @@ class MLPClassifier:
                                       loss_fn, params0)
         self._state = self._trainer.init(params0)
 
-        data = batchify((X, Y), self.batch_size)
+        bs = min(self.batch_size, X.shape[0])
+        data = batchify((X, Y), bs)
         epoch_fn = jax.jit(self._trainer.epoch)
         for epoch in range(self.nepochs):
             d = data

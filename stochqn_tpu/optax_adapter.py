@@ -28,8 +28,9 @@ from jax.flatten_util import ravel_pytree
 from stochqn_tpu.core.config import OLBFGSConfig
 from stochqn_tpu.core.state import BFGSMemory
 from stochqn_tpu.fused import FusedTrainer
-from stochqn_tpu.ops.pairs import commit_pair, direction_is_bad
-from stochqn_tpu.ops.two_loop import two_loop
+from stochqn_tpu.ops.pairs import (commit_pair, conditional_flush,
+                                   direction_is_bad)
+from stochqn_tpu.ops.two_loop import two_loop_cached
 
 ScalarOrSchedule = Union[float, Callable[[jax.Array], jax.Array]]
 
@@ -77,21 +78,16 @@ def olbfgs(learning_rate: ScalarOrSchedule, mem_size: int = 10,
         g, unravel = ravel_pytree(updates)
 
         # Commit the pair formed by the previous step's movement and the
-        # gradient change it produced (skipped on the very first step).
+        # gradient change it produced (vetoed on the very first step).
         mem_c = state.mem.replace(s_pending=state.upd_prev)
         y_cand = g - state.grad_prev
-        mem_committed, _ = commit_pair(mem_c, y_cand, cfg.min_curvature,
-                                       cfg.y_reg)
-        mem = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(state.count > 0, a, b),
-            mem_committed, state.mem)
+        mem, _ = commit_pair(mem_c, y_cand, cfg.min_curvature, cfg.y_reg,
+                             enabled=state.count > 0)
 
-        d = two_loop(g, mem.s, mem.y, mem.head, mem.count,
-                     h0=cfg.hess_init, gram=mem.gram)
+        d = two_loop_cached(g, mem, h0=cfg.hess_init)
         if cfg.check_nan:
             bad = direction_is_bad(d)
-            mem = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(bad, a, b), mem.flush(), mem)
+            mem = conditional_flush(mem, bad)
             d = jnp.where(bad, jnp.zeros_like(d), d)
 
         upd = -lr_at(state.count) * d

@@ -158,3 +158,25 @@ def test_digits_fused_multinomial():
     acc = (clf.predict(X) == digits.target).mean()
     assert acc > 0.85, f"fused multinomial digits accuracy {acc}"
     assert clf.coef_.shape == (10, 64)
+
+
+def test_fused_then_partial_fit_continues_same_model():
+    """partial_fit after a fused fit hands the fused weights to the
+    protocol optimizer (no silent model fork)."""
+    from sklearn.datasets import load_digits
+    digits = load_digits()
+    X = digits.data / 16.0
+    y = (digits.target >= 5).astype(np.float64)
+
+    clf = StochasticLogisticRegression(
+        reg_param=1e-3, optimizer="oLBFGS", step_size=1.0, valset_frac=None,
+        verbose=False, nepochs=5, batches_per_epoch=20, dtype=np.float64,
+        engine="fused")
+    clf.fit(X, y)
+    x_after_fit = np.asarray(clf.x_).copy()
+    clf.partial_fit(X[:100], y[:100])
+    # the protocol optimizer took over, starting from the fused weights
+    assert clf._x_fused is None
+    x_now = np.asarray(clf.x_)
+    assert not np.allclose(x_now, x_after_fit)        # it moved
+    assert np.linalg.norm(x_now - x_after_fit) < 1.0  # ...from the warm start
