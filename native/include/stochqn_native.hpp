@@ -63,34 +63,43 @@ namespace detail {
 
 // Parallelize vector kernels only when n is large enough that threads pay
 // for themselves — the reference applied the same gating idea
-// (src/stochqn.c:208: `if(n > 1e7 && nthreads > 4)`).
-constexpr std::size_t kParallelThreshold = 1u << 20;
+// (src/stochqn.c:208: `if(n > 1e7 && nthreads > 4)`); `omp simd` vectorizes
+// the strict-FP reduction even without threads.
+constexpr std::size_t kParallelThreshold = 1u << 19;
 
 template <class Real>
 inline Real dot(const Real* a, const Real* b, std::size_t n) {
-  Real s = 0;
 #ifdef _OPENMP
   if (n >= kParallelThreshold) {
     double acc = 0.0;
-#pragma omp parallel for reduction(+ : acc) schedule(static)
+#pragma omp parallel for simd reduction(+ : acc) schedule(static)
     for (long long i = 0; i < static_cast<long long>(n); ++i)
       acc += static_cast<double>(a[i]) * static_cast<double>(b[i]);
     return static_cast<Real>(acc);
   }
-#endif
+  {
+    Real s = 0;
+#pragma omp simd reduction(+ : s)
+    for (std::size_t i = 0; i < n; ++i) s += a[i] * b[i];
+    return s;
+  }
+#else
+  Real s = 0;
   for (std::size_t i = 0; i < n; ++i) s += a[i] * b[i];
   return s;
+#endif
 }
 
 template <class Real>
 inline void axpy(Real a, const Real* x, Real* y, std::size_t n) {
 #ifdef _OPENMP
   if (n >= kParallelThreshold) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for simd schedule(static)
     for (long long i = 0; i < static_cast<long long>(n); ++i)
       y[i] += a * x[i];
     return;
   }
+#pragma omp simd
 #endif
   for (std::size_t i = 0; i < n; ++i) y[i] += a * x[i];
 }
@@ -135,25 +144,56 @@ class PairMemory {
   }
 
   // Commit (s_pending, y [+ y_reg*s]) if it passes the curvature gate.
+  // Copy-free: the regularizer is folded into the curvature dot
+  // (s.(y + reg*s) = s.y + reg*s.s) and applied during the ring write.
   bool try_commit(const Real* y_cand) {
-    std::vector<Real>& yb = y_scratch_;
-    yb.assign(y_cand, y_cand + n_);
-    if (y_reg_ > 0)
-      detail::axpy(y_reg_, s_pending_.data(), yb.data(), n_);
+    const Real* s = s_pending_.data();
     if (min_curvature_ > 0) {
-      const Real sy = detail::dot(s_pending_.data(), yb.data(), n_);
-      const Real ss = detail::dot(s_pending_.data(), s_pending_.data(), n_);
-      const Real curv = sy / ss;
-      if (!(curv > min_curvature_)) return false;  // NaN rejects
+      Real sy = detail::dot(s, y_cand, n_);
+      const Real ss = detail::dot(s, s, n_);
+      if (y_reg_ > 0) sy += y_reg_ * ss;
+      if (!(sy / ss > min_curvature_)) return false;  // NaN rejects
     }
     Real* sdst = s_.data() + head_ * n_;
     Real* ydst = y_.data() + head_ * n_;
-    for (std::size_t i = 0; i < n_; ++i) {
-      sdst[i] = s_pending_[i];
-      ydst[i] = yb[i];
+    if (y_reg_ > 0) {
+      for (std::size_t i = 0; i < n_; ++i) {
+        sdst[i] = s[i];
+        ydst[i] = y_cand[i] + y_reg_ * s[i];
+      }
+    } else {
+      for (std::size_t i = 0; i < n_; ++i) {
+        sdst[i] = s[i];
+        ydst[i] = y_cand[i];
+      }
     }
-    head_ = (head_ + 1) % mem_size_;
-    if (count_ < mem_size_) ++count_;
+    bump();
+    return true;
+  }
+
+  // Commit with y = g_new - g_prev (+ y_reg*s), never materializing y.
+  bool try_commit_diff(const Real* g_new, const Real* g_prev) {
+    const Real* s = s_pending_.data();
+    if (min_curvature_ > 0) {
+      Real sy = detail::dot(s, g_new, n_) - detail::dot(s, g_prev, n_);
+      const Real ss = detail::dot(s, s, n_);
+      if (y_reg_ > 0) sy += y_reg_ * ss;
+      if (!(sy / ss > min_curvature_)) return false;  // NaN rejects
+    }
+    Real* sdst = s_.data() + head_ * n_;
+    Real* ydst = y_.data() + head_ * n_;
+    if (y_reg_ > 0) {
+      for (std::size_t i = 0; i < n_; ++i) {
+        sdst[i] = s[i];
+        ydst[i] = g_new[i] - g_prev[i] + y_reg_ * s[i];
+      }
+    } else {
+      for (std::size_t i = 0; i < n_; ++i) {
+        sdst[i] = s[i];
+        ydst[i] = g_new[i] - g_prev[i];
+      }
+    }
+    bump();
     return true;
   }
 
@@ -163,11 +203,15 @@ class PairMemory {
     return (start + chrono) % mem_size_;
   }
 
+  void bump() {
+    head_ = (head_ + 1) % mem_size_;
+    if (count_ < mem_size_) ++count_;
+  }
+
   std::size_t n_, mem_size_;
   Real min_curvature_, y_reg_;
   std::size_t head_ = 0, count_ = 0;
   std::vector<Real> s_, y_, s_pending_;
-  std::vector<Real> y_scratch_;
 };
 
 // Recent-gradient store for adaQN's empirical Fisher product.
@@ -313,10 +357,7 @@ class OLBFGS {
         return req;
       }
       case Phase::Pair: {
-        grad_diff_.resize(n_);
-        for (std::size_t i = 0; i < n_; ++i)
-          grad_diff_[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(grad_diff_.data());
+        const bool ok = mem_.try_commit_diff(grad, grad_prev_.data());
         if (!ok && opt_.min_curvature > 0) req.info = Info::CurvatureTooSmall;
         phase_ = Phase::Step;
         req.task = Task::CalcGrad;
@@ -386,10 +427,7 @@ class SQN {
         for (std::size_t i = 0; i < n_; ++i) grad_prev_[i] = grad[i];
         return resume(req, x);
       case Phase::PairGradDiff: {
-        grad_diff_.resize(n_);
-        for (std::size_t i = 0; i < n_; ++i)
-          grad_diff_[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(grad_diff_.data());
+        const bool ok = mem_.try_commit_diff(grad, grad_prev_.data());
         if (ok) {
           for (std::size_t i = 0; i < n_; ++i) {
             grad_prev_[i] = grad[i];
@@ -543,10 +581,7 @@ class AdaQN {
         f_prev_ = f;
         return resume(req, x);
       case Phase::PairGradDiff: {
-        grad_diff_.resize(n_);
-        for (std::size_t i = 0; i < n_; ++i)
-          grad_diff_[i] = grad[i] - grad_prev_[i];
-        const bool ok = mem_.try_commit(grad_diff_.data());
+        const bool ok = mem_.try_commit_diff(grad, grad_prev_.data());
         if (ok) {
           for (std::size_t i = 0; i < n_; ++i) grad_prev_[i] = grad[i];
           // x_avg_prev deliberately NOT refreshed (reference quirk,
