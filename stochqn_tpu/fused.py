@@ -333,6 +333,9 @@ class FusedTrainer:
     obj_fn: Optional[ObjFn] = None
     val_data: Optional[Batch] = None
 
+    _epoch_jit: Any = dataclasses.field(default=None, repr=False,
+                                        compare=False)
+
     def __post_init__(self):
         kind = self.optimizer
         if kind == "oLBFGS":
@@ -452,7 +455,9 @@ class FusedTrainer:
         ``data`` leaves are pre-batched ``[B, bs, ...]``.
         ``decr_step_size(step0, epoch)`` mirrors the guided schedule hook.
         """
-        epoch_fn = jax.jit(self.epoch)
+        if self._epoch_jit is None:
+            object.__setattr__(self, "_epoch_jit", jax.jit(self.epoch))
+        epoch_fn = self._epoch_jit
         infos = []
         for epoch in range(nepochs):
             eta = (step_size if decr_step_size is None
