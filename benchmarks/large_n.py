@@ -1,0 +1,62 @@
+"""Large-n showcase: SQN step cost at 16M parameters, f32 vs bf16 pairs.
+
+At BibTeX scale (n=292k) the per-step cost sits at the backend's scan-step
+floor; at production scale (n in the tens of millions) the two streaming
+passes over the [2m, n] pair memory dominate and the bf16 storage option
+pays off.  Chained-state timing (every epoch's input depends on the
+previous output — the only trustworthy methodology on this machine).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+from stochqn_tpu.core.config import SQNConfig
+from stochqn_tpu.fused import FusedTrainer
+
+N = 16_000_000
+B, L = 40, 8
+MEM = 10
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # synthetic separable quadratic: per-batch diagonal curvature + target
+    diag = jnp.asarray(rng.uniform(0.5, 2.0, N), jnp.float32)
+    targets = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+
+    def grad_fn(x, batch):
+        # cheap synthetic gradient: diag * (x - t); one pass over n
+        t = jnp.mean(batch)
+        return diag * (x - t)
+
+    for bf16 in (False, True):
+        cfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L,
+                               use_grad_diff=True, pairs_bf16=bf16)
+        tr = FusedTrainer("SQN", cfg, grad_fn)
+        state = tr.init(x0)
+        ep = jax.jit(tr.epoch)
+        state, _ = ep(state, targets, jnp.float32(1e-2))
+        jax.block_until_ready(state.x)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, _ = ep(state, targets, jnp.float32(1e-2))
+        jax.block_until_ready(state.x)
+        dt = (time.perf_counter() - t0) / 3
+        pair_mb = 2 * MEM * N * (2 if bf16 else 4) / 1e6
+        print(f"pairs_{'bf16' if bf16 else 'f32 '}: "
+              f"{dt / B * 1e6:8.1f} us/iter  "
+              f"({B / dt:6.0f} iters/s; pair memory {pair_mb:.0f} MB)")
+
+
+if __name__ == "__main__":
+    main()
