@@ -52,7 +52,8 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 
 def init(x0: jax.Array, cfg: AdaQNConfig) -> AdaQNState:
     return AdaQNState.create(x0, cfg.mem_size, cfg.fisher_size,
-                             pairs_bf16=cfg.pairs_bf16)
+                             pairs_bf16=cfg.pairs_bf16,
+                             fisher_bf16=cfg.fisher_bf16)
 
 
 def _resume(st: AdaQNState, info, x_changed) -> Tuple[AdaQNState, AdvanceResult]:

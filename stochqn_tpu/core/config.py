@@ -120,6 +120,7 @@ class AdaQNConfig:
     check_nan: bool = True
     h0_exact_reference: bool = True
     pairs_bf16: bool = False     # see OLBFGSConfig.pairs_bf16
+    fisher_bf16: bool = False    # bfloat16 Fisher gradient store (f32 math)
     # Use the Pallas fused projection kernel for the per-step diagonal-H0
     # two-loop (single VMEM-resident pass computing W g, (Y*D) g, (Y*D) Y^T).
     use_pallas: bool = False
@@ -129,7 +130,8 @@ class AdaQNConfig:
                max_incr=1.01, min_curvature=1e-4, scal_reg=1e-4,
                rmsprop_weight=None, y_reg=None, use_grad_diff=False,
                check_nan=True, h0_exact_reference=True,
-               pairs_bf16=False, use_pallas=False) -> "AdaQNConfig":
+               pairs_bf16=False, fisher_bf16=False,
+               use_pallas=False) -> "AdaQNConfig":
         if mem_size <= 0 or bfgs_upd_freq <= 0:
             raise ValueError("'mem_size' and 'bfgs_upd_freq' must be positive")
         # Reference: fisher_size=None forces use_grad_diff
@@ -160,5 +162,6 @@ class AdaQNConfig:
             check_nan=bool(check_nan),
             h0_exact_reference=bool(h0_exact_reference),
             pairs_bf16=bool(pairs_bf16),
+            fisher_bf16=bool(fisher_bf16),
             use_pallas=bool(use_pallas),
         )

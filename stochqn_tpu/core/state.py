@@ -118,9 +118,11 @@ class FisherMemory:
     count: jax.Array  # int32
 
     @classmethod
-    def create(cls, fisher_size: int, n: int, dtype=jnp.float32) -> "FisherMemory":
+    def create(cls, fisher_size: int, n: int, dtype=jnp.float32,
+               storage_dtype=None) -> "FisherMemory":
         return cls(
-            f=jnp.zeros((fisher_size, n), dtype=dtype),
+            f=jnp.zeros((fisher_size, n),
+                        dtype=dtype if storage_dtype is None else storage_dtype),
             head=jnp.zeros((), dtype=jnp.int32),
             count=jnp.zeros((), dtype=jnp.int32),
         )
@@ -132,7 +134,8 @@ class FisherMemory:
     def append(self, grad: jax.Array) -> "FisherMemory":
         """``add_to_fisher_mem`` (``src/stochqn.c:581-587``)."""
         size = self.f.shape[0]
-        f = jax.lax.dynamic_update_index_in_dim(self.f, grad, self.head, axis=0)
+        f = jax.lax.dynamic_update_index_in_dim(
+            self.f, grad.astype(self.f.dtype), self.head, axis=0)
         return self.replace(
             f=f,
             head=(self.head + 1) % size,
@@ -220,15 +223,17 @@ class AdaQNState:
 
     @classmethod
     def create(cls, x0: jax.Array, mem_size: int, fisher_size: int,
-               pairs_bf16: bool = False) -> "AdaQNState":
+               pairs_bf16: bool = False,
+               fisher_bf16: bool = False) -> "AdaQNState":
         x0 = jnp.asarray(x0)
         n = x0.shape[0]
         zeros = jnp.zeros((n,), dtype=x0.dtype)
         st_t = jnp.bfloat16 if pairs_bf16 else None
+        f_t = jnp.bfloat16 if fisher_bf16 else None
         return cls(
             x=x0,
             mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
-            fisher=FisherMemory.create(max(fisher_size, 1), n, x0.dtype),
+            fisher=FisherMemory.create(max(fisher_size, 1), n, x0.dtype, f_t),
             grad_prev=zeros,
             x_sum=zeros,
             x_avg_prev=zeros,

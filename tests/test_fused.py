@@ -252,3 +252,27 @@ def test_fused_sqn_pairs_bf16_converges(rng):
     lbf = float(obj_fn(jnp.asarray(outs[True], jnp.float32), flat))
     # both should be near the optimum; bf16 within 10% extra loss
     assert lbf < max(1.1 * l32, l32 + 1e-3), (l32, lbf)
+
+
+def test_fused_adaqn_fisher_bf16(rng):
+    """bf16 Fisher storage (f32 products) trains close to the f32 run."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n).astype(jnp.float32)
+    centers = rng.standard_normal((B, bs, n)) * 0.1
+    grad_fn, obj_fn = _make_funs(a)
+    outs = {}
+    for fb in (False, True):
+        cfg = AdaQNConfig.create(mem_size=3, fisher_size=10, bfgs_upd_freq=L,
+                                 max_incr=1.01, fisher_bf16=fb)
+        tr = FusedTrainer("adaQN", cfg, grad_fn, obj_fn=obj_fn)
+        st = tr.init(jnp.ones(n, jnp.float32))
+        ep = jax.jit(tr.epoch)
+        for _ in range(4):
+            st, _ = ep(st, jnp.asarray(centers, jnp.float32), 0.1)
+        if fb:
+            assert st.fisher.f.dtype == jnp.bfloat16
+        outs[fb] = np.asarray(st.x, np.float64)
+    flat = jnp.asarray(centers.reshape(-1, n), jnp.float32)
+    l32 = float(obj_fn(jnp.asarray(outs[False], jnp.float32), flat))
+    lbf = float(obj_fn(jnp.asarray(outs[True], jnp.float32), flat))
+    assert lbf < max(1.15 * l32, l32 + 1e-3), (l32, lbf)
