@@ -20,7 +20,7 @@ from stochqn_tpu.core.config import SQNConfig
 from stochqn_tpu.fused import FusedTrainer
 from stochqn_tpu.models import losses
 
-N_FEATURES, N_CLASSES, BATCH, NUM_BATCHES = 1836, 159, 50, 133
+N_FEATURES, N_CLASSES, BATCH, NUM_BATCHES = 1836, 159, 50, 120
 
 
 def main():
@@ -53,7 +53,9 @@ def main():
         jax.block_until_ready(state.x)
         dt = time.perf_counter() - t0
         print(f"epoch {e}: loss {full_loss(state.x):12.1f}   "
-              f"{NUM_BATCHES/dt:8.0f} iters/s")
+              f"{NUM_BATCHES/dt:8.0f} iters/s "
+              "(incl. the full-data loss eval; see bench.py for pure "
+              "optimizer throughput)")
 
 
 if __name__ == "__main__":
