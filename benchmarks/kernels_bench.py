@@ -22,13 +22,17 @@ import numpy as np
 from stochqn_tpu.ops.two_loop import two_loop
 
 
-def timeit(fn, *args, iters=200):
-    out = fn(*args)
+def timeit(fn, g0, *args, iters=50):
+    """Chained timing: each iteration's gradient input depends on the
+    previous output (the backend memoizes identical executions, so static
+    repeats lie — see CLAUDE.md)."""
+    g = g0
+    out = fn(g, *args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        g = g0 + 1e-3 * fn(g, *args)
+    jax.block_until_ready(g)
     return (time.perf_counter() - t0) / iters * 1e6  # us
 
 

@@ -32,23 +32,18 @@ def bench_reference():
                                            "reference_baseline.py"))
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    lib = ctypes.CDLL(mod.compile_reference(
-        tempfile.mkdtemp(prefix="nvr_")))
+    lib = mod.bind_reference(ctypes.CDLL(mod.compile_reference(
+        tempfile.mkdtemp(prefix="nvr_"))))
     dp = ctypes.POINTER(ctypes.c_double)
-    lib.initialize_oLBFGS.restype = ctypes.c_void_p
-    lib.initialize_oLBFGS.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int, ctypes.c_int]
-    lib.run_oLBFGS.restype = ctypes.c_int
-    lib.run_oLBFGS.argtypes = [ctypes.c_double, dp, dp, ctypes.POINTER(dp),
-                               ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-                               ctypes.POINTER(ctypes.c_int)]
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal(N)
     grads = rng.standard_normal((8, N))  # rotate a few precomputed grads
     grad = np.zeros(N)
-    ws = lib.initialize_oLBFGS(N, MEM, 0.0, 0.0, 1e-4, 1, 4)
+    # min_curvature=0: the curvature gate must stay off — random
+    # gradients trigger rejections, where the reference corrupts its
+    # memory with uninitialized data (nondeterministic work)
+    ws = lib.initialize_oLBFGS(N, MEM, 0.0, 0.0, 0.0, 1, 4)
     req, task, info = dp(), ctypes.c_int(0), ctypes.c_int(0)
 
     def run():
@@ -67,7 +62,7 @@ def bench_reference():
 def bench_native():
     from stochqn_tpu.native_backend import NativeOLBFGS
     rng = np.random.default_rng(0)
-    opt = NativeOLBFGS(mem_size=MEM, min_curvature=1e-4, dtype=np.float64)
+    opt = NativeOLBFGS(mem_size=MEM, min_curvature=0.0, dtype=np.float64)
     opt.start(rng.standard_normal(N))
     grads = rng.standard_normal((8, N))
     opt.run(STEP)

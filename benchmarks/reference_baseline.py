@@ -106,6 +106,47 @@ def compile_reference(build_dir: str) -> str:
     return so
 
 
+def bind_reference(lib):
+    """Attach restype/argtypes for the reference C ABI (single source of
+    truth — every harness that loads the reference uses this)."""
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.initialize_oLBFGS.restype = ctypes.c_void_p
+    lib.initialize_oLBFGS.argtypes = [
+        ctypes.c_int, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.run_oLBFGS.restype = ctypes.c_int
+    lib.run_oLBFGS.argtypes = [
+        ctypes.c_double, dp, dp, ctypes.POINTER(dp),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.dealloc_oLBFGS.argtypes = [ctypes.c_void_p]
+
+    lib.initialize_SQN.restype = ctypes.c_void_p
+    lib.initialize_SQN.argtypes = [
+        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    lib.run_SQN.restype = ctypes.c_int
+    lib.run_SQN.argtypes = [
+        ctypes.c_double, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.dealloc_SQN.argtypes = [ctypes.c_void_p]
+
+    lib.initialize_adaQN.restype = ctypes.c_void_p
+    lib.initialize_adaQN.argtypes = [
+        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
+    # signature: run_adaQN(step, x, f, grad, &req, &task, ws, &info)
+    lib.run_adaQN.restype = ctypes.c_int
+    lib.run_adaQN.argtypes = [
+        ctypes.c_double, dp, ctypes.c_double, dp, ctypes.POINTER(dp),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int)]
+    lib.dealloc_adaQN.argtypes = [ctypes.c_void_p]
+    return lib
+
+
 def multinomial_grad(w, X, Y, reg):
     """Weighted-mean multinomial logistic gradient, numpy/BLAS."""
     k = Y.shape[1]
@@ -145,19 +186,8 @@ def main():
 
     build_dir = tempfile.mkdtemp(prefix="stochqn_ref_")
     so_path = compile_reference(build_dir)
-    lib = ctypes.CDLL(so_path)
-
+    lib = bind_reference(ctypes.CDLL(so_path))
     dp = ctypes.POINTER(ctypes.c_double)
-    lib.initialize_SQN.restype = ctypes.c_void_p
-    lib.initialize_SQN.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
-    lib.run_SQN.restype = ctypes.c_int
-    lib.run_SQN.argtypes = [
-        ctypes.c_double, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
-        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int)]
-    lib.dealloc_SQN.argtypes = [ctypes.c_void_p]
 
     n = (N_FEATURES + 1) * N_CLASSES
     rng = np.random.default_rng(1)

@@ -23,8 +23,12 @@ import jax
 # Default to the virtual CPU mesh; set SCALING_ON_TPU=1 on a real slice.
 if not os.environ.get("SCALING_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_cache"))
+    # CPU runs must not share the TPU-tunnel compile cache (CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache_cpu"))
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp

@@ -52,7 +52,7 @@ def _data():
     return Xb, Yb, x0
 
 
-def full_loss(mod, w, Xb, Yb):
+def full_loss(w, Xb, Yb):
     X = Xb.reshape(-1, N_FEATURES)
     Y = Yb.reshape(-1, N_CLASSES)
     k = Y.shape[1]
@@ -68,18 +68,8 @@ def full_loss(mod, w, Xb, Yb):
 def run_reference(mod, Xb, Yb, x0):
     """Returns (loss_after_REF_EPOCHS, seconds)."""
     build = tempfile.mkdtemp(prefix="stochqn_ttt_")
-    lib = ctypes.CDLL(mod.compile_reference(build))
+    lib = mod.bind_reference(ctypes.CDLL(mod.compile_reference(build)))
     dp = ctypes.POINTER(ctypes.c_double)
-    lib.initialize_SQN.restype = ctypes.c_void_p
-    lib.initialize_SQN.argtypes = [ctypes.c_int, ctypes.c_size_t,
-                                   ctypes.c_size_t, ctypes.c_double,
-                                   ctypes.c_int, ctypes.c_double,
-                                   ctypes.c_int, ctypes.c_int]
-    lib.run_SQN.restype = ctypes.c_int
-    lib.run_SQN.argtypes = [ctypes.c_double, dp, dp, dp,
-                            ctypes.POINTER(dp), ctypes.POINTER(dp),
-                            ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-                            ctypes.POINTER(ctypes.c_int)]
     n = x0.shape[0]
     x = x0.copy()
     ws = lib.initialize_SQN(n, 10, UPD_FREQ, 1e-4, 0, 0.0, 1, 4)
@@ -115,7 +105,7 @@ def run_reference(mod, Xb, Yb, x0):
                 Yb[idx].reshape(-1, N_CLASSES), REG)
         run()
     dt = time.perf_counter() - t0
-    return full_loss(mod, x, Xb, Yb), dt
+    return full_loss(x, Xb, Yb), dt
 
 
 def run_ours(Xb, Yb, x0, target):
@@ -179,6 +169,7 @@ def main():
     print(f"reference: loss {ref_loss:.4f} after {REF_EPOCHS} epochs "
           f"in {ref_s:.2f}s", flush=True)
     our_loss, our_s, epochs, compile_s = run_ours(Xb, Yb, x0, ref_loss)
+    reached = bool(our_loss <= ref_loss)
     out = {
         "target_loss": round(float(ref_loss), 4),
         "reference_seconds": round(ref_s, 3),
@@ -186,7 +177,8 @@ def main():
         "ours_epochs": epochs,
         "ours_final_loss": round(float(our_loss), 4),
         "ours_compile_seconds": round(compile_s, 2),
-        "speedup": round(ref_s / our_s, 1),
+        "target_reached": reached,
+        "speedup": round(ref_s / our_s, 1) if reached else None,
     }
     print(json.dumps(out))
 

@@ -34,45 +34,7 @@ def reflib():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     build_dir = tempfile.mkdtemp(prefix="stochqn_parity_")
-    so = mod.compile_reference(build_dir)
-    lib = ctypes.CDLL(so)
-    dp = ctypes.POINTER(ctypes.c_double)
-
-    lib.initialize_oLBFGS.restype = ctypes.c_void_p
-    lib.initialize_oLBFGS.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int, ctypes.c_int]
-    lib.run_oLBFGS.restype = ctypes.c_int
-    lib.run_oLBFGS.argtypes = [
-        ctypes.c_double, dp, dp, ctypes.POINTER(dp),
-        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int)]
-    lib.dealloc_oLBFGS.argtypes = [ctypes.c_void_p]
-
-    lib.initialize_SQN.restype = ctypes.c_void_p
-    lib.initialize_SQN.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
-    lib.run_SQN.restype = ctypes.c_int
-    lib.run_SQN.argtypes = [
-        ctypes.c_double, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
-        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int)]
-    lib.dealloc_SQN.argtypes = [ctypes.c_void_p]
-
-    lib.initialize_adaQN.restype = ctypes.c_void_p
-    lib.initialize_adaQN.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
-    # signature: run_adaQN(step, x, f, grad, &req, &task, ws, &info)
-    lib.run_adaQN.restype = ctypes.c_int
-    lib.run_adaQN.argtypes = [
-        ctypes.c_double, dp, ctypes.c_double, dp, ctypes.POINTER(dp),
-        ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_int)]
-    lib.dealloc_adaQN.argtypes = [ctypes.c_void_p]
-    return lib
+    return mod.bind_reference(ctypes.CDLL(mod.compile_reference(build_dir)))
 
 
 TASKS = {101: "calc_grad", 102: "calc_grad_same_batch",

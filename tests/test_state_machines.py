@@ -44,9 +44,11 @@ def _drive(opt, oracle, problem, x0, nsteps, step_size=0.05,
     req = opt.run_optimizer(x_j, step_size)
     task_o, info_o, changed_o = oracle.run(x_o, step_size)
     b = 0
+    infos = []
     for it in range(nsteps):
         assert req["task"] == task_o, f"step {it}: task mismatch"
         assert req["info"]["iteration_info"] == info_o, f"step {it}"
+        infos.append(info_o)
         np.testing.assert_allclose(x_j, x_o, rtol=5e-6, atol=5e-7,
                                    err_msg=f"step {it}: x diverged")
 
@@ -78,7 +80,7 @@ def _drive(opt, oracle, problem, x0, nsteps, step_size=0.05,
         req = opt.run_optimizer(x_j, step_size)
         task_o, info_o, changed_o = oracle.run(x_o, step_size, **kwargs_o)
         assert req["info"]["x_changed_in_run"] == changed_o, f"step {it}"
-    return x_j, x_o
+    return x_j, x_o, infos
 
 
 def _oracle_req(oracle, task):
@@ -213,3 +215,72 @@ def test_adaqn_func_increase_reverts(rng):
         req = opt.run_optimizer(x_j, 0.05)
         task_o, info_o, _ = oracle.run(x_o, 0.05, **kwargs_o)
     assert saw_revert
+
+
+class IndefiniteProblem(QuadProblem):
+    """Indefinite curvature: some batches produce negative s.y pairs,
+    exercising the curvature-rejection branches."""
+
+    def __init__(self, rng, n, nbatches=16):
+        q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+        eigs = rng.uniform(0.5, 2.0, n)
+        eigs[: n // 3] *= -1.0            # indefinite directions
+        self.a = q @ np.diag(eigs) @ q.T
+        self.centers = rng.standard_normal((nbatches, n)) * 0.2
+        self.nbatches = nbatches
+
+
+def test_olbfgs_curvature_rejections_match_oracle(rng):
+    """Rejected pairs (curvature_too_small) must leave memory untouched and
+    trajectories in lockstep with the oracle."""
+    n = 10
+    problem = IndefiniteProblem(rng, n)
+    x0 = rng.standard_normal(n) * 0.1
+    opt = oLBFGS_free(mem_size=4, min_curvature=1e-4, check_nan=True)
+    oracle = OLBFGSOracle(mem_size=4, min_curvature=1e-4, check_nan=True)
+    # small step to keep the indefinite dynamics bounded for 120 calls
+    _, _, infos = _drive(opt, oracle, problem, x0, nsteps=120,
+                         step_size=0.01)
+    # the indefinite directions must actually have triggered rejections
+    assert "curvature_too_small" in infos
+
+
+def test_nan_gradient_rejection_matches_oracle(rng):
+    """A NaN gradient triggers search_direction_was_nan (memory flush, x
+    unchanged) identically in framework and oracle."""
+    n = 8
+    problem = QuadProblem(rng, n)
+
+    class NaNProblem(QuadProblem):
+        def __init__(self, base):
+            self.a = base.a
+            self.centers = base.centers
+            self.nbatches = base.nbatches
+            self.calls = 0
+
+        def grad(self, x, b):
+            self.calls += 1
+            if self.calls in (9, 10):   # poison two calls
+                return np.full(x.shape, np.nan)
+            return super().grad(x, b)
+
+    x0 = rng.standard_normal(n)
+    opt = oLBFGS_free(mem_size=4)
+    oracle = OLBFGSOracle(mem_size=4)
+    p1, p2 = NaNProblem(problem), NaNProblem(problem)
+
+    x_j, x_o = x0.copy(), x0.copy()
+    req = opt.run_optimizer(x_j, 0.05)
+    t_o, i_o, _ = oracle.run(x_o, 0.05)
+    saw_nan = False
+    for it in range(60):
+        assert req["task"] == t_o, f"step {it}"
+        assert req["info"]["iteration_info"] == i_o, f"step {it}"
+        if i_o == "search_direction_was_nan":
+            saw_nan = True
+        np.testing.assert_allclose(x_j, x_o, rtol=5e-6, atol=5e-7)
+        opt.update_gradient(p1.grad(np.asarray(req["requested_on"]), it))
+        g_o = p2.grad(x_o, it)
+        req = opt.run_optimizer(x_j, 0.05)
+        t_o, i_o, _ = oracle.run(x_o, 0.05, grad=g_o)
+    assert saw_nan

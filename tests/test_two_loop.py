@@ -21,26 +21,18 @@ def _random_pairs(rng, n, k, spd=True):
 
 
 def _fill_ring(pairs, mem_size, n, head_offset=0):
-    """Place chronological pairs into a ring with arbitrary start offset."""
+    """Place chronological pairs into a ring.  A full ring may start at any
+    offset (head == oldest row); a not-full ring always starts at row 0
+    with head == count (the C invariant)."""
     s_mem = np.zeros((mem_size, n))
     y_mem = np.zeros((mem_size, n))
     count = len(pairs)
-    start = head_offset % mem_size
+    start = head_offset % mem_size if count == mem_size else 0
     for c, (s, y) in enumerate(pairs):
         row = (start + c) % mem_size
         s_mem[row] = s
         y_mem[row] = y
-    head = (start + count) % mem_size if count == mem_size else count
-    if count == mem_size:
-        head = start  # full ring: head == oldest
-    else:
-        # not-full ring must have start == 0 per the C invariant
-        s_mem = np.zeros((mem_size, n))
-        y_mem = np.zeros((mem_size, n))
-        for c, (s, y) in enumerate(pairs):
-            s_mem[c] = s
-            y_mem[c] = y
-        head = count
+    head = start if count == mem_size else count
     return s_mem, y_mem, head, count
 
 
