@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from stochqn_tpu.core.enums import Info, Task
+from stochqn_tpu.core.enums import Info
 
 
 @struct.dataclass

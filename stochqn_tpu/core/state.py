@@ -16,8 +16,6 @@ corrupt the oldest stored pair when the ring is full.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

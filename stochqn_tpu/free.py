@@ -27,8 +27,7 @@ on TPU requires ``jax.config.update("jax_enable_x64", True)`` and is slow
 from __future__ import annotations
 
 import warnings
-from functools import partial
-from typing import Optional, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

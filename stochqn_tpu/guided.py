@@ -26,8 +26,6 @@ compatible) or JAX functions; for fully on-device training see
 from __future__ import annotations
 
 import warnings
-from typing import Callable, Optional
-
 import numpy as np
 
 try:

@@ -20,7 +20,6 @@ provided and is what the fused engine uses for arbitrary losses.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

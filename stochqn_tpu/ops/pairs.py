@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from stochqn_tpu.core.state import BFGSMemory, FisherMemory
-from stochqn_tpu.core.enums import Info
 from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm
 
 

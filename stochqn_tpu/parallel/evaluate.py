@@ -9,11 +9,9 @@ so the cross-device reduction is a single ``psum`` over the ``data`` axis.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from stochqn_tpu.parallel.mesh import DATA_AXIS

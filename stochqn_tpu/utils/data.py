@@ -13,11 +13,10 @@ from __future__ import annotations
 
 import collections
 import itertools
-from typing import Any, Callable, Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,
