@@ -9,8 +9,14 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell exports axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Pin the compile target ISA: the sandbox reports inconsistent CPUID
+    # across processes, and AOT cache entries compiled with a wider ISA
+    # can mis-execute when loaded by a process that detects a narrower one
+    # (observed as rare flaky numeric failures).
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
