@@ -70,15 +70,21 @@ double cblas_dnrm2(int n, const double *x, int incx){
 void cblas_dgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
                  double alpha, const double *a, int lda, const double *x,
                  int incx, double beta, double *y, int incy){
-    /* row-major only, as used by the optimizer core */
+    /* row-major only, as used by the optimizer core.
+       BLAS semantics: beta == 0 means y is write-only — it must NOT be
+       read (the reference core passes uninitialized malloc'd buffers as
+       y with beta=0, e.g. buffer_y in update_y_fisher,
+       reference src/stochqn.c:936-952; computing 0*y there propagates
+       NaN whenever the reused heap garbage is a NaN bit-pattern). */
     if (trans == CblasNoTrans) {
         for (int i = 0; i < m; i++) {
             double s = 0.0;
             for (int j = 0; j < n; j++) s += a[i*lda + j] * x[j*incx];
-            y[i*incy] = alpha * s + beta * y[i*incy];
+            y[i*incy] = alpha * s + (beta == 0.0 ? 0.0 : beta * y[i*incy]);
         }
     } else {
-        for (int j = 0; j < n; j++) y[j*incy] *= beta;
+        if (beta == 0.0) for (int j = 0; j < n; j++) y[j*incy] = 0.0;
+        else             for (int j = 0; j < n; j++) y[j*incy] *= beta;
         for (int i = 0; i < m; i++) {
             double s = alpha * x[i*incx];
             for (int j = 0; j < n; j++) y[j*incy] += s * a[i*lda + j];

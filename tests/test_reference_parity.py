@@ -8,7 +8,16 @@ sequences, info codes, and iterate trajectories must agree.
 Problems are well-conditioned quadratics so no curvature rejection occurs
 — the reference's rejection path hits its inverted backup/rollback bug
 (``src/stochqn.c:589-604``) which this framework deliberately does not
-reproduce."""
+reproduce.
+
+Note: the reference relies on standard BLAS beta==0 semantics (y is
+write-only) — ``update_y_fisher`` (``src/stochqn.c:936-952``) passes
+uninitialized malloc'd buffers as gemv outputs.  The shim BLAS in
+``benchmarks/reference_baseline.py`` must not read y when beta==0, or
+NaN heap garbage nondeterministically poisons the reference's correction
+pairs (this was a rare parity flake; reproducible deterministically with
+``MALLOC_PERTURB_=255``, which fills freed memory with 0xFF bytes — a
+NaN double bit-pattern)."""
 import ctypes
 import importlib.util
 import os
