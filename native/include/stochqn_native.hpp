@@ -143,29 +143,24 @@ class PairMemory {
     count_ = 0;
   }
 
-  // Commit (s_pending, y [+ y_reg*s]) if it passes the curvature gate.
-  // Copy-free: the regularizer is folded into the curvature dot
-  // (s.(y + reg*s) = s.y + reg*s.s) and applied during the ring write.
+  // Commit (s_pending, y_cand) verbatim if it passes the curvature gate.
+  // y_reg is deliberately NOT applied here: the reference regularizes
+  // only gradient-difference y's (update_y_grad_diff,
+  // reference src/stochqn.c:923); Hessian-vector and empirical-Fisher
+  // y's (:936-966) are stored raw.  Those are exactly this method's
+  // callers — grad-diff sources go through try_commit_diff below.
   bool try_commit(const Real* y_cand) {
     const Real* s = s_pending_.data();
     if (min_curvature_ > 0) {
-      Real sy = detail::dot(s, y_cand, n_);
+      const Real sy = detail::dot(s, y_cand, n_);
       const Real ss = detail::dot(s, s, n_);
-      if (y_reg_ > 0) sy += y_reg_ * ss;
       if (!(sy / ss > min_curvature_)) return false;  // NaN rejects
     }
     Real* sdst = s_.data() + head_ * n_;
     Real* ydst = y_.data() + head_ * n_;
-    if (y_reg_ > 0) {
-      for (std::size_t i = 0; i < n_; ++i) {
-        sdst[i] = s[i];
-        ydst[i] = y_cand[i] + y_reg_ * s[i];
-      }
-    } else {
-      for (std::size_t i = 0; i < n_; ++i) {
-        sdst[i] = s[i];
-        ydst[i] = y_cand[i];
-      }
+    for (std::size_t i = 0; i < n_; ++i) {
+      sdst[i] = s[i];
+      ydst[i] = y_cand[i];
     }
     bump();
     return true;

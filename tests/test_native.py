@@ -95,6 +95,55 @@ def test_native_adaqn_matches_jax(rng):
         a, centers, x0, nsteps=150)
 
 
+FUZZ_CONFIGS = [
+    # mirrors tests/test_parity_fuzz.py sweeps (same n=6 shapes so the JAX
+    # side's jit executables are shared via the persistent compile cache)
+    (oLBFGS_free, dict(mem_size=1, min_curvature=None)),
+    (oLBFGS_free, dict(mem_size=3, min_curvature=1e-4)),
+    (oLBFGS_free, dict(mem_size=7, hess_init=0.5, min_curvature=None)),
+    (oLBFGS_free, dict(mem_size=3, hess_init=1.5, min_curvature=1e-4,
+                       y_reg=1e-2)),
+    (SQN_free, dict(mem_size=2, bfgs_upd_freq=2, min_curvature=None)),
+    (SQN_free, dict(mem_size=5, bfgs_upd_freq=3, min_curvature=1e-4)),
+    (SQN_free, dict(mem_size=3, bfgs_upd_freq=7, min_curvature=None,
+                    y_reg=1e-2)),
+    (SQN_free, dict(mem_size=4, bfgs_upd_freq=3, use_grad_diff=True,
+                    min_curvature=1e-4, y_reg=1e-2)),
+    (SQN_free, dict(mem_size=6, bfgs_upd_freq=10, use_grad_diff=True,
+                    min_curvature=None)),
+    (adaQN_free, dict(mem_size=2, fisher_size=3, bfgs_upd_freq=3,
+                      max_incr=None, min_curvature=None)),
+    (adaQN_free, dict(mem_size=3, fisher_size=5, bfgs_upd_freq=3,
+                      max_incr=1.01, rmsprop_weight=0.9,
+                      min_curvature=None)),
+    (adaQN_free, dict(mem_size=4, fisher_size=8, bfgs_upd_freq=5,
+                      max_incr=None, rmsprop_weight=0.9, use_grad_diff=True,
+                      y_reg=1e-2, min_curvature=None)),
+    (adaQN_free, dict(mem_size=2, fisher_size=3, bfgs_upd_freq=2,
+                      max_incr=1.01, min_curvature=1e-4)),
+    # y_reg must be a no-op on the Fisher y path (reference applies it
+    # to grad-diff y's only)
+    (adaQN_free, dict(mem_size=3, fisher_size=5, bfgs_upd_freq=3,
+                      max_incr=1.01, min_curvature=None, y_reg=1e-2)),
+]
+
+
+@pytest.mark.parametrize("cls,kw", FUZZ_CONFIGS,
+                         ids=lambda v: getattr(v, "__name__", None))
+def test_native_fuzz_matches_jax(rng, cls, kw):
+    """Config-sweep lockstep: native C++ tier vs the JAX tier.
+
+    Unlike the reference-C fuzz (test_parity_fuzz.py), curvature
+    rejections are safe to drive through here: both tiers implement the
+    gate without the reference's uninitialized backup/rollback, so the
+    full trajectory must agree."""
+    n = 6
+    a, centers = _quad(rng, n)
+    x0 = rng.standard_normal(n)
+    _drive_pair(cls(backend="native", **kw), cls(**kw),
+                a, centers, x0, nsteps=70)
+
+
 def test_native_float32(rng):
     n = 8
     a, centers = _quad(rng, n)

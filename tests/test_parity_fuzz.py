@@ -212,6 +212,9 @@ ADAQN_CONFIGS = [
     (4, 8, 5, None, None, 1e-4, 0.9, True, 1e-2),
     (2, 3, 2, 1.01, 1e-4, 1e-4, None, False, None),
     (3, 5, 5, 1.01, 1e-4, 1e-4, 0.9, True, None),
+    # y_reg with the Fisher y-source: the reference regularizes only
+    # grad-diff y's, so y_reg must be a no-op on this path
+    (3, 5, 3, 1.01, None, 1e-4, None, False, 1e-2),
 ]
 
 
