@@ -142,6 +142,50 @@ def test_fused_adaqn_matches_protocol(rng, use_grad_diff, max_incr):
     np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
 
 
+FUZZ_SWEEP = [
+    # (kind, config kwargs) — knobs not covered by the tests above:
+    # scalar H0, y_reg, min_curvature, RMSProp weight, scal_reg, mem_size=1
+    ("oLBFGS", dict(mem_size=4, hess_init=0.5)),
+    ("oLBFGS", dict(mem_size=4, y_reg=1e-2, min_curvature=1e-4)),
+    ("oLBFGS", dict(mem_size=1)),
+    ("SQN", dict(mem_size=3, bfgs_upd_freq=4, use_grad_diff=True,
+                 y_reg=1e-2)),
+    ("SQN", dict(mem_size=3, bfgs_upd_freq=4, min_curvature=1e-3)),
+    ("SQN", dict(mem_size=1, bfgs_upd_freq=2)),
+    ("adaQN", dict(mem_size=3, fisher_size=10, bfgs_upd_freq=4,
+                   max_incr=1.01, rmsprop_weight=0.9)),
+    ("adaQN", dict(mem_size=3, fisher_size=10, bfgs_upd_freq=4,
+                   max_incr=None, use_grad_diff=True, y_reg=1e-2)),
+    ("adaQN", dict(mem_size=2, fisher_size=4, bfgs_upd_freq=4,
+                   max_incr=1.01, scal_reg=1e-2)),
+]
+
+_CFG_CLS = {"oLBFGS": OLBFGSConfig, "SQN": SQNConfig, "adaQN": AdaQNConfig}
+_FREE_CLS = {"oLBFGS": oLBFGS_free, "SQN": SQN_free, "adaQN": adaQN_free}
+
+
+@pytest.mark.parametrize("kind,kw", FUZZ_SWEEP, ids=lambda v: None)
+def test_fused_config_sweep_matches_protocol(rng, kind, kw):
+    """Config sweep over the knobs the targeted tests above leave at
+    defaults — the fused engine must track the protocol tier on all of
+    them (the native-tier sweep caught a real y_reg bug this way)."""
+    n, B, bs = 8, 12, 2
+    L = kw.get("bfgs_upd_freq", 1)
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, obj_fn = _make_funs(a)
+
+    cfg = _CFG_CLS[kind].create(**kw)
+    trainer = FusedTrainer(kind, cfg, grad_fn,
+                           **({"obj_fn": obj_fn} if kind == "adaQN" else {}))
+    x_fused = _fused_run(trainer, jnp.asarray(centers), NEPOCHS, 0.05)
+
+    opt = _FREE_CLS[kind](**kw)
+    x_proto = _protocol_run(opt, grad_fn, obj_fn, centers, L,
+                            target_iters=NEPOCHS * B, step_size=0.05)
+    np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
+
+
 def test_fused_adaqn_func_increase_matches_protocol(rng):
     """An objective that spikes once training crosses a threshold triggers
     adaQN's func_increased revert identically in fused and protocol modes."""
