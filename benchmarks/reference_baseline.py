@@ -45,6 +45,13 @@ double cblas_dnrm2(int n, const double *x, int incx);
 void cblas_dgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
                  double alpha, const double *a, int lda, const double *x,
                  int incx, double beta, double *y, int incy);
+float cblas_sdot(int n, const float *x, int incx, const float *y, int incy);
+void cblas_saxpy(int n, float a, const float *x, int incx, float *y, int incy);
+void cblas_sscal(int n, float alpha, float *x, int incx);
+float cblas_snrm2(int n, const float *x, int incx);
+void cblas_sgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
+                 float alpha, const float *a, int lda, const float *x,
+                 int incx, float beta, float *y, int incy);
 #endif
 """
 
@@ -91,18 +98,60 @@ void cblas_dgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
         }
     }
 }
+float cblas_sdot(int n, const float *x, int incx, const float *y, int incy){
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) s += x[i*incx] * y[i*incy];
+    return s;
+}
+void cblas_saxpy(int n, float a, const float *x, int incx, float *y, int incy){
+    for (int i = 0; i < n; i++) y[i*incy] += a * x[i*incx];
+}
+void cblas_sscal(int n, float alpha, float *x, int incx){
+    for (int i = 0; i < n; i++) x[i*incx] *= alpha;
+}
+float cblas_snrm2(int n, const float *x, int incx){
+    float s = 0.0f;
+    for (int i = 0; i < n; i++) s += x[i*incx] * x[i*incx];
+    return sqrtf(s);
+}
+void cblas_sgemv(CBLAS_ORDER order, CBLAS_TRANSPOSE trans, int m, int n,
+                 float alpha, const float *a, int lda, const float *x,
+                 int incx, float beta, float *y, int incy){
+    /* same beta==0 write-only contract as cblas_dgemv above */
+    if (trans == CblasNoTrans) {
+        for (int i = 0; i < m; i++) {
+            float s = 0.0f;
+            for (int j = 0; j < n; j++) s += a[i*lda + j] * x[j*incx];
+            y[i*incy] = alpha * s + (beta == 0.0f ? 0.0f : beta * y[i*incy]);
+        }
+    } else {
+        if (beta == 0.0f) for (int j = 0; j < n; j++) y[j*incy] = 0.0f;
+        else              for (int j = 0; j < n; j++) y[j*incy] *= beta;
+        for (int i = 0; i < m; i++) {
+            float s = alpha * x[i*incx];
+            for (int j = 0; j < n; j++) y[j*incy] += s * a[i*lda + j];
+        }
+    }
+}
 """
 
 
-def compile_reference(build_dir: str) -> str:
+def compile_reference(build_dir: str, precision: str = "double") -> str:
+    """Build the unmodified reference against the shim BLAS.
+
+    ``precision``: "double" (-DUSE_DOUBLE, the reference's default
+    instantiation) or "float" (-DUSE_FLOAT — the reference's dual-precision
+    build, reference setup.py:51-58 / wrapper_float.pyx)."""
+    if precision not in ("double", "float"):
+        raise ValueError("precision must be 'double' or 'float'")
     with open(os.path.join(build_dir, "blasfuns.h"), "w") as f:
         f.write(BLASFUNS_H)
     with open(os.path.join(build_dir, "blas_shim.c"), "w") as f:
         f.write(BLAS_SHIM_C)
-    so = os.path.join(build_dir, "libstochqn_ref.so")
+    so = os.path.join(build_dir, f"libstochqn_ref_{precision}.so")
     cmd = [
         "gcc", "-O3", "-march=native", "-std=c99", "-fPIC", "-shared",
-        "-fopenmp", "-DUSE_DOUBLE",
+        "-fopenmp", "-DUSE_DOUBLE" if precision == "double" else "-DUSE_FLOAT",
         f"-I{build_dir}", f"-I{REFERENCE}/include",
         f"{REFERENCE}/src/stochqn.c",
         os.path.join(build_dir, "blas_shim.c"),
@@ -112,28 +161,30 @@ def compile_reference(build_dir: str) -> str:
     return so
 
 
-def bind_reference(lib):
+def bind_reference(lib, precision: str = "double"):
     """Attach restype/argtypes for the reference C ABI (single source of
-    truth — every harness that loads the reference uses this)."""
-    dp = ctypes.POINTER(ctypes.c_double)
+    truth — every harness that loads the reference uses this).  ``precision``
+    must match the -DUSE_* flag the library was compiled with."""
+    real = ctypes.c_double if precision == "double" else ctypes.c_float
+    dp = ctypes.POINTER(real)
     lib.initialize_oLBFGS.restype = ctypes.c_void_p
     lib.initialize_oLBFGS.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_double, ctypes.c_double,
-        ctypes.c_double, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_size_t, real, real,
+        real, ctypes.c_int, ctypes.c_int]
     lib.run_oLBFGS.restype = ctypes.c_int
     lib.run_oLBFGS.argtypes = [
-        ctypes.c_double, dp, dp, ctypes.POINTER(dp),
+        real, dp, dp, ctypes.POINTER(dp),
         ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int)]
     lib.dealloc_oLBFGS.argtypes = [ctypes.c_void_p]
 
     lib.initialize_SQN.restype = ctypes.c_void_p
     lib.initialize_SQN.argtypes = [
-        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_double,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
+        ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, real,
+        ctypes.c_int, real, ctypes.c_int, ctypes.c_int]
     lib.run_SQN.restype = ctypes.c_int
     lib.run_SQN.argtypes = [
-        ctypes.c_double, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
+        real, dp, dp, dp, ctypes.POINTER(dp), ctypes.POINTER(dp),
         ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int)]
     lib.dealloc_SQN.argtypes = [ctypes.c_void_p]
@@ -141,12 +192,12 @@ def bind_reference(lib):
     lib.initialize_adaQN.restype = ctypes.c_void_p
     lib.initialize_adaQN.argtypes = [
         ctypes.c_int, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_size_t,
-        ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-        ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int]
+        real, real, real, real,
+        ctypes.c_int, real, ctypes.c_int, ctypes.c_int]
     # signature: run_adaQN(step, x, f, grad, &req, &task, ws, &info)
     lib.run_adaQN.restype = ctypes.c_int
     lib.run_adaQN.argtypes = [
-        ctypes.c_double, dp, ctypes.c_double, dp, ctypes.POINTER(dp),
+        real, dp, real, dp, ctypes.POINTER(dp),
         ctypes.POINTER(ctypes.c_int), ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int)]
     lib.dealloc_adaQN.argtypes = [ctypes.c_void_p]

@@ -77,7 +77,7 @@ def _eval(task, on, a, centers, b, vec=None):
 
 
 def _lockstep(reflib, ours, run_c, feed_c, x_c, x_j, task, info,
-              a, centers, steps, eta, tag):
+              a, centers, steps, eta, tag, rtol=1e-7, atol=1e-9):
     """Drive both sides ``steps`` protocol calls, asserting lockstep.
 
     ``feed_c(t_c, b)`` supplies the reference its requested value;
@@ -89,7 +89,7 @@ def _lockstep(reflib, ours, run_c, feed_c, x_c, x_j, task, info,
     for it in range(steps):
         t_c = TASKS[task.value]
         assert req_j["task"] == t_c, f"{tag} step {it}"
-        np.testing.assert_allclose(x_j, x_c, rtol=1e-7, atol=1e-9,
+        np.testing.assert_allclose(x_j, x_c, rtol=rtol, atol=atol,
                                    err_msg=f"{tag} step {it}")
         if t_c == "calc_grad":
             b += 1
@@ -252,3 +252,126 @@ def test_fuzz_adaqn(reflib, mem, fisher, L, mi, mc, sreg, rms, ugd, yreg):
                      tag=f"adaQN{(mem, fisher, L, mi, mc, rms, ugd, yreg)}")
     reflib.dealloc_adaQN(ws)
     assert done >= L + 2
+
+
+# ---------------------------------------------------------------------------
+# float32: the reference's dual-precision build (-DUSE_FLOAT, reference
+# setup.py:51-58) vs this framework's use_float=True path.  Trajectories
+# drift by fp op order (XLA f32 vs scalar C f32), so tolerances are loose
+# and runs short; task/info sequences must still match exactly.  Gates
+# (min_curvature, max_incr) are off: in f32 they sit close enough to
+# knife edges that op-order noise could legitimately flip them.
+# ---------------------------------------------------------------------------
+_fp = ctypes.POINTER(ctypes.c_float)
+F32_RTOL, F32_ATOL = 2e-3, 1e-4
+
+
+@pytest.fixture(scope="module")
+def reflib32():
+    spec = importlib.util.spec_from_file_location(
+        "reference_baseline",
+        os.path.join(REPO, "benchmarks", "reference_baseline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    build_dir = tempfile.mkdtemp(prefix="stochqn_fuzz32_")
+    return mod.bind_reference(
+        ctypes.CDLL(mod.compile_reference(build_dir, precision="float")),
+        precision="float")
+
+
+def test_fuzz_olbfgs_float32(reflib32):
+    n, steps, eta = 6, 40, 0.05
+    a, centers, x0 = _problem(seed=400, n=n)
+    from stochqn_tpu.free import oLBFGS_free
+    ours = oLBFGS_free(mem_size=4, min_curvature=None, use_float=True)
+    x_j = x0.astype(np.float32)
+    x_c = x0.astype(np.float32)
+    grad_c = np.zeros(n, np.float32)
+    reqp, task, info = _fp(), ctypes.c_int(0), ctypes.c_int(0)
+    ws = reflib32.initialize_oLBFGS(n, 4, 0.0, 0.0, 0.0, 1, 1)
+
+    def run_c():
+        reflib32.run_oLBFGS(eta, x_c.ctypes.data_as(_fp),
+                            grad_c.ctypes.data_as(_fp), ctypes.byref(reqp),
+                            ctypes.byref(task), ws, ctypes.byref(info))
+
+    def feed_c(t_c, b):
+        req_pt = np.ctypeslib.as_array(reqp, shape=(n,)).copy()
+        grad_c[:] = _eval(t_c, req_pt.astype(np.float64), a, centers, b)
+
+    done = _lockstep(reflib32, ours, run_c, feed_c, x_c, x_j, task, info,
+                     a, centers, steps, eta, tag="oLBFGS-f32",
+                     rtol=F32_RTOL, atol=F32_ATOL)
+    reflib32.dealloc_oLBFGS(ws)
+    assert done == steps
+
+
+@pytest.mark.parametrize("ugd", [False, True])
+def test_fuzz_sqn_float32(reflib32, ugd):
+    n, steps, eta, L = 6, 50, 0.05, 4
+    a, centers, x0 = _problem(seed=410 + ugd, n=n)
+    from stochqn_tpu.free import SQN_free
+    ours = SQN_free(mem_size=3, bfgs_upd_freq=L, min_curvature=None,
+                    use_grad_diff=ugd, use_float=True)
+    x_j = x0.astype(np.float32)
+    x_c = x0.astype(np.float32)
+    grad_c, hv_c = np.zeros(n, np.float32), np.zeros(n, np.float32)
+    reqp, reqv = _fp(), _fp()
+    task, info = ctypes.c_int(0), ctypes.c_int(0)
+    ws = reflib32.initialize_SQN(n, 3, L, 0.0, int(ugd), 0.0, 1, 1)
+
+    def run_c():
+        reflib32.run_SQN(eta, x_c.ctypes.data_as(_fp),
+                         grad_c.ctypes.data_as(_fp),
+                         hv_c.ctypes.data_as(_fp),
+                         ctypes.byref(reqp), ctypes.byref(reqv),
+                         ctypes.byref(task), ws, ctypes.byref(info))
+
+    def feed_c(t_c, b):
+        req_pt = np.ctypeslib.as_array(reqp, shape=(n,)).copy()
+        if t_c == "calc_hess_vec":
+            vec_c = np.ctypeslib.as_array(reqv, shape=(n,)).copy()
+            hv_c[:] = _eval(t_c, req_pt.astype(np.float64), a, centers, b,
+                            vec=vec_c.astype(np.float64))
+        else:
+            grad_c[:] = _eval(t_c, req_pt.astype(np.float64), a, centers, b)
+
+    done = _lockstep(reflib32, ours, run_c, feed_c, x_c, x_j, task, info,
+                     a, centers, steps, eta, tag=f"SQN-f32(ugd={ugd})",
+                     rtol=F32_RTOL, atol=F32_ATOL)
+    reflib32.dealloc_SQN(ws)
+    assert done == steps
+
+
+def test_fuzz_adaqn_float32(reflib32):
+    n, steps, eta, L = 6, 60, 0.05, 4
+    a, centers, x0 = _problem(seed=420, n=n)
+    from stochqn_tpu.free import adaQN_free
+    ours = adaQN_free(mem_size=3, fisher_size=6, bfgs_upd_freq=L,
+                      max_incr=None, min_curvature=None, use_float=True)
+    x_j = x0.astype(np.float32)
+    x_c = x0.astype(np.float32)
+    grad_c = np.zeros(n, np.float32)
+    f_c = ctypes.c_float(0.0)
+    reqp, task, info = _fp(), ctypes.c_int(0), ctypes.c_int(0)
+    ws = reflib32.initialize_adaQN(n, 3, 6, L, 0.0, 0.0, 1e-4, 0.0,
+                                   0, 0.0, 1, 1)
+
+    def run_c():
+        reflib32.run_adaQN(eta, x_c.ctypes.data_as(_fp), f_c.value,
+                           grad_c.ctypes.data_as(_fp), ctypes.byref(reqp),
+                           ctypes.byref(task), ws, ctypes.byref(info))
+
+    def feed_c(t_c, b):
+        req_pt = np.ctypeslib.as_array(reqp, shape=(n,)).copy()
+        val = _eval(t_c, req_pt.astype(np.float64), a, centers, b)
+        if t_c == "calc_fun_val_batch":
+            f_c.value = float(val)
+        else:
+            grad_c[:] = val
+
+    done = _lockstep(reflib32, ours, run_c, feed_c, x_c, x_j, task, info,
+                     a, centers, steps, eta, tag="adaQN-f32",
+                     rtol=F32_RTOL, atol=F32_ATOL)
+    reflib32.dealloc_adaQN(ws)
+    assert done == steps
