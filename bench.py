@@ -87,7 +87,10 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             ref = json.load(f)
-        ref_ips = ref.get("reference_sqn_bibtex_iters_per_s")
+        # like-for-like: this bench runs float32, so compare against the
+        # reference's own float32 (-DUSE_FLOAT) build when measured
+        ref_ips = (ref.get("reference_sqn_bibtex_iters_per_s_f32")
+                   or ref.get("reference_sqn_bibtex_iters_per_s"))
         if ref_ips:
             vs_baseline = iters_per_s / ref_ips
 

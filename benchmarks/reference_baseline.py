@@ -236,28 +236,31 @@ def multinomial_hessvec(w, v, X, Y, reg):
     return h.reshape(-1)
 
 
-def main():
-    if not os.path.isdir(REFERENCE):
-        print(json.dumps({"skipped": "no reference checkout"}))
-        return
-
+def measure(precision: str = "double") -> dict:
+    """Measure the reference build at the given precision.  The float32
+    measurement exists because bench.py's TPU path runs float32 — the
+    like-for-like comparison is against the reference's own float32
+    instantiation (which benefits from 2x SIMD width in numpy evals)."""
     build_dir = tempfile.mkdtemp(prefix="stochqn_ref_")
-    so_path = compile_reference(build_dir)
-    lib = bind_reference(ctypes.CDLL(so_path))
-    dp = ctypes.POINTER(ctypes.c_double)
+    so_path = compile_reference(build_dir, precision=precision)
+    lib = bind_reference(ctypes.CDLL(so_path), precision=precision)
+    npdt = np.float64 if precision == "double" else np.float32
+    dp = ctypes.POINTER(
+        ctypes.c_double if precision == "double" else ctypes.c_float)
 
     n = (N_FEATURES + 1) * N_CLASSES
     rng = np.random.default_rng(1)
-    Xb = rng.standard_normal((NUM_BATCHES, BATCH_SIZE, N_FEATURES))
+    Xb = rng.standard_normal((NUM_BATCHES, BATCH_SIZE, N_FEATURES)) \
+        .astype(npdt)
     labels = rng.integers(0, N_CLASSES, (NUM_BATCHES, BATCH_SIZE))
-    Yb = np.eye(N_CLASSES)[labels]
-    x = rng.standard_normal(n)
+    Yb = np.eye(N_CLASSES, dtype=npdt)[labels]
+    x = rng.standard_normal(n).astype(npdt)
 
     ws = lib.initialize_SQN(n, 10, UPD_FREQ, 1e-4, 0, 0.0, 1, 4)
     assert ws
 
-    grad = np.zeros(n)
-    hess_vec = np.zeros(n)
+    grad = np.zeros(n, npdt)
+    hess_vec = np.zeros(n, npdt)
     req = dp()
     req_vec = dp()
     task = ctypes.c_int(0)
@@ -300,15 +303,27 @@ def main():
     dt = time.perf_counter() - t0
     lib.dealloc_SQN(ws)
 
-    iters_per_s = target_iters / dt
-    out = {
-        "reference_sqn_bibtex_iters_per_s": round(iters_per_s, 3),
-        "note": ("reference C core (float64, CPU, numpy gradient evals) on "
-                 "synthetic BibTeX-shaped SQN workload; same shapes as "
-                 "bench.py"),
-        "target_iters": target_iters,
-        "seconds": round(dt, 3),
+    key = ("reference_sqn_bibtex_iters_per_s" if precision == "double"
+           else "reference_sqn_bibtex_iters_per_s_f32")
+    return {
+        key: round(target_iters / dt, 3),
+        f"target_iters_{precision}": target_iters,
+        f"seconds_{precision}": round(dt, 3),
     }
+
+
+def main():
+    if not os.path.isdir(REFERENCE):
+        print(json.dumps({"skipped": "no reference checkout"}))
+        return
+    out = {}
+    for precision in ("double", "float"):
+        out.update(measure(precision))
+    out["note"] = ("reference C core (both -DUSE_DOUBLE and -DUSE_FLOAT "
+                   "builds, CPU, numpy gradient evals) on synthetic "
+                   "BibTeX-shaped SQN workload; same shapes as bench.py. "
+                   "bench.py compares its float32 TPU run against the "
+                   "float32 reference build.")
     with open(os.path.join(REPO, "BASELINE_MEASURED.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
