@@ -78,6 +78,14 @@ class _StochQNFree:
         raise NotImplementedError
 
     # -- evaluation inputs -------------------------------------------------
+    def _check_len(self, arr, what: str):
+        """Length validation mirroring the reference's update_gradient
+        checks (``stochqn/_optimizers.py:917-927``)."""
+        if self._n is not None and arr.shape[0] != self._n:
+            raise ValueError(
+                f"{what} has {arr.shape[0]} elements, expected {self._n}")
+        return arr
+
     def update_gradient(self, gradient) -> None:
         """Pass the requested gradient to the optimizer (any of the
         ``calc_grad*`` tasks)."""
@@ -85,7 +93,8 @@ class _StochQNFree:
             self._native.gradient[:] = np.asarray(
                 gradient, self._native.dtype).reshape(-1)
             return
-        gradient = jnp.asarray(gradient, self.dtype).reshape(-1)
+        gradient = self._check_len(
+            jnp.asarray(gradient, self.dtype).reshape(-1), "gradient")
         self._gradient = gradient
 
     # -- protocol ----------------------------------------------------------
@@ -268,7 +277,8 @@ class SQN_free(_StochQNFree):
             self._native.hess_vec[:] = np.asarray(
                 hess_vec, self._native.dtype).reshape(-1)
             return
-        self._hess_vec = jnp.asarray(hess_vec, self.dtype).reshape(-1)
+        self._hess_vec = self._check_len(
+            jnp.asarray(hess_vec, self.dtype).reshape(-1), "hess_vec")
 
     def _extra_inputs(self) -> Tuple:
         return (self._hess_vec,)

@@ -77,3 +77,19 @@ def test_metrics_helpers():
     assert not h.update(10.0)
     assert not h.update(8.0)    # big decrease
     assert h.update(7.9)        # small decrease -> stop
+
+
+def test_free_mode_rejects_wrong_length_inputs(rng):
+    """Input validation parity: the reference's update_gradient checks
+    shape (stochqn/_optimizers.py:917-927)."""
+    import pytest
+    from stochqn_tpu.free import SQN_free
+
+    opt = SQN_free(mem_size=3, bfgs_upd_freq=4)
+    x = rng.standard_normal(8)
+    opt.run_optimizer(x, 0.05)
+    with pytest.raises(ValueError, match="gradient has 5"):
+        opt.update_gradient(np.zeros(5))
+    opt.update_gradient(np.zeros(8))   # correct length still accepted
+    with pytest.raises(ValueError, match="hess_vec has 3"):
+        opt.update_hess_vec(np.zeros(3))
