@@ -58,7 +58,7 @@ def advance(cfg: SQNConfig, state: SQNState, grad: jax.Array,
         return _resume(st, Info.NO_PROBLEMS_ENCOUNTERED, False)
 
     def sec1(st: SQNState):
-        d = two_loop_cached(grad, st.mem)
+        d = two_loop_cached(grad, st.mem, collapsed=True)
         if cfg.check_nan:
             bad = direction_is_bad(d)
         else:
@@ -111,7 +111,8 @@ def advance(cfg: SQNConfig, state: SQNState, grad: jax.Array,
 
     def sec3(st: SQNState):
         y_cand = grad - st.grad_prev
-        mem, accepted = commit_pair(st.mem, y_cand, cfg.min_curvature, cfg.y_reg)
+        mem, accepted = commit_pair(st.mem, y_cand, cfg.min_curvature,
+                                    cfg.y_reg, direction_cache=True)
         st = st.replace(
             mem=mem,
             grad_prev=jnp.where(accepted, grad, st.grad_prev),
@@ -126,7 +127,7 @@ def advance(cfg: SQNConfig, state: SQNState, grad: jax.Array,
         # archive_x_avg happens whether or not the pair is accepted
         # (src/stochqn.c:1136-1141).
         mem, accepted = commit_pair(st.mem, hess_vec, cfg.min_curvature,
-                                    y_reg=0.0)
+                                    y_reg=0.0, direction_cache=True)
         st = st.replace(mem=mem, x_avg_prev=st.x_sum,
                         x_sum=jnp.zeros_like(st.x_sum))
         info = jnp.where(accepted, jnp.int32(Info.NO_PROBLEMS_ENCOUNTERED),

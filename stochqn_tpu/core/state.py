@@ -68,6 +68,13 @@ class BFGSMemory:
     yy_c: jax.Array       # [m, m] chronological Y Y^T
     rl_c: jax.Array       # [m, m] diag(rho) tril(YS,-1)
     gamma: jax.Array      # scalar: default H0 = (s.y)/(y.y) of latest pair
+    # --- optional collapsed-direction cache (see pairs._small_cache):
+    # the whole gamma-scaled two-loop collapses to
+    #   d = gamma*g + W^T ((c0 + gamma*cg) @ (W g)),  W = [s; y]
+    # letting a single fused kernel read W from HBM once per step.
+    # Zeros unless commit_pair(direction_cache=True).
+    c0: jax.Array         # [2m, 2m]
+    cg: jax.Array         # [2m, 2m]
 
     @classmethod
     def create(cls, mem_size: int, n: int, dtype=jnp.float32,
@@ -89,6 +96,8 @@ class BFGSMemory:
             yy_c=jnp.zeros((m, m), dtype=gram_t),
             rl_c=jnp.zeros((m, m), dtype=gram_t),
             gamma=jnp.ones((), dtype=gram_t),
+            c0=jnp.zeros((2 * m, 2 * m), dtype=gram_t),
+            cg=jnp.zeros((2 * m, 2 * m), dtype=gram_t),
         )
 
     @property

@@ -114,7 +114,7 @@ def _sqn_base(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
     """The per-iteration work of ``run_SQN`` section 1 before any
     ``upd_freq`` boundary (``src/stochqn.c:1050-1073``)."""
     g = grad_fn(state.x, batch)
-    d = two_loop_cached(g, state.mem)
+    d = two_loop_cached(g, state.mem, collapsed=True)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
     x_new = jnp.where(bad, state.x, state.x - step_size * d)
     mem = conditional_flush(state.mem, bad)
@@ -146,6 +146,7 @@ def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
         # archived average, which equals x_avg here (src/stochqn.c:1086-1088)
         mem2, acc = commit_pair(mem_p, gb - st.grad_prev,
                                 cfg.min_curvature, cfg.y_reg,
+                                direction_cache=True,
                                 enabled=not_first)
         st = st.replace(
             mem=mem2,
@@ -155,6 +156,7 @@ def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
     else:
         hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,), (s_cand,))[1]
         mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature, y_reg=0.0,
+                                direction_cache=True,
                                 enabled=not_first)
         # archive happens on first AND (accept or reject) later rounds
         st = st.replace(mem=mem2, x_avg_prev=x_avg,

@@ -42,7 +42,9 @@ def conditional_flush(mem: BFGSMemory, pred: jax.Array) -> BFGSMemory:
 
 
 def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
-                y_reg: float, enabled=None) -> Tuple[BFGSMemory, jax.Array]:
+                y_reg: float, enabled=None,
+                direction_cache: bool = False
+                ) -> Tuple[BFGSMemory, jax.Array]:
     """Try to commit ``(mem.s_pending, y_cand [+ y_reg * s])`` into the ring.
 
     Implements ``update_y_grad_diff``-style regularization plus
@@ -110,7 +112,8 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
     new_count = jnp.where(accepted, jnp.minimum(mem.count + 1, size),
                           mem.count)
-    cache = _small_cache(gram, new_head, new_count, size)
+    cache = _small_cache(gram, new_head, new_count, size,
+                         direction_cache=direction_cache)
 
     new_mem = mem.replace(
         s=new_s,
@@ -124,7 +127,7 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
 
 
 def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
-                 mem_size: int) -> dict:
+                 mem_size: int, direction_cache: bool = False) -> dict:
     """Commit-time precomputation of everything in the two-loop that does
     not depend on the incoming gradient: chronological permutation, rho,
     the inverted backward/forward triangular systems, the chronological
@@ -169,9 +172,42 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
         sy_diag[last] / jnp.where(has_pairs, yy_last, jnp.ones_like(yy_last)),
         jnp.ones((), acc_t))
 
-    return dict(perm=perm, rho=rho, bwd_inv=bwd_inv, fwd_inv=fwd_inv,
-                yy_c=yy * validf[:, None] * validf[None, :], rl_c=rl,
-                gamma=gamma)
+    yy_m = yy * validf[:, None] * validf[None, :]
+    out = dict(perm=perm, rho=rho, bwd_inv=bwd_inv, fwd_inv=fwd_inv,
+               yy_c=yy_m, rl_c=rl, gamma=gamma)
+
+    if not direction_cache:
+        out["c0"] = jnp.zeros((2 * m, 2 * m), acc_t)
+        out["cg"] = jnp.zeros((2 * m, 2 * m), acc_t)
+        return out
+
+    # Collapse the whole gamma-scaled two-loop into u = C @ (W g):
+    #   alpha = Binv Drho P wgs                   (A1 = Binv Drho P)
+    #   y_r0  = gamma (P wgy - YY A1 wgs)
+    #   beta  = Finv (Drho y_r0 + RL A1 wgs)
+    #   u_s   = P^T (alpha - beta),   u_y = -gamma P^T alpha
+    #   d     = gamma g + u_s @ S + u_y @ Y
+    # Everything is linear in wg and affine in gamma, so
+    # C = c0 + gamma * cg with both matrices commit-time constants.
+    # (gamma may be overridden per step by a scalar hess_init — that is why
+    # the affine split is kept rather than baking the cached gamma in.)
+    def mm(a, b):
+        return jnp.matmul(a, b, preferred_element_type=acc_t,
+                          precision=PRECISION)
+
+    p_mat = jax.nn.one_hot(perm, m, dtype=acc_t)          # (P x)_i = x[perm_i]
+    drho_p = rho[:, None] * p_mat
+    a1 = mm(bwd_inv, drho_p)
+    finv_rl_a1 = mm(fwd_inv, mm(rl, a1))
+    c0_ss = mm(p_mat.T, a1 - finv_rl_a1)
+    cg_ss = mm(p_mat.T, mm(fwd_inv, rho[:, None] * mm(yy_m, a1)))
+    cg_sy = -mm(p_mat.T, mm(fwd_inv, drho_p))
+    cg_ys = -mm(p_mat.T, a1)
+
+    zero_m = jnp.zeros((m, m), acc_t)
+    out["c0"] = jnp.block([[c0_ss, zero_m], [zero_m, zero_m]])
+    out["cg"] = jnp.block([[cg_ss, cg_sy], [cg_ys, zero_m]])
+    return out
 
 
 def fisher_y(fisher: FisherMemory, s: jax.Array) -> jax.Array:

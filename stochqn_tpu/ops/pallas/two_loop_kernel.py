@@ -109,6 +109,125 @@ def project(s_mem, y_mem, grad, *, tile_n: int = _TILE_N,
 
 
 # ---------------------------------------------------------------------------
+# Whole-direction kernel: d = gamma*g + W^T (C (W g)) with ONE HBM read of W
+# ---------------------------------------------------------------------------
+def _direction_kernel(s_ref, y_ref, g_ref, c_ref, gamma_ref, d_ref,
+                      s_scr, y_scr, g_scr, wg_scr, u_scr):
+    """Two-phase grid ``(2, n_tiles)``.
+
+    Phase 0 streams the pair memory tiles in (HBM -> VMEM), parks them in
+    VMEM scratch, and accumulates ``wg = W g``.  Phase 1 computes
+    ``u = C wg`` once, then produces ``d`` tiles from the *scratch* copies
+    — the ``[2m, n]`` buffers are read from HBM exactly once per step,
+    halving the two-loop's HBM traffic (its entire cost at large n)
+    versus separate project/expand passes.
+    """
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    tn = s_ref.shape[1]
+
+    @pl.when(p == 0)
+    def _():
+        s = s_ref[:, :]
+        y = y_ref[:, :]
+        g = g_ref[:, :]
+        s_scr[:, pl.ds(i * tn, tn)] = s
+        y_scr[:, pl.ds(i * tn, tn)] = y
+        g_scr[:, pl.ds(i * tn, tn)] = g
+        w = jnp.concatenate([s, y], axis=0)                   # [2m, TN]
+        wg_part = jax.lax.dot_general(
+            w, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [2m, 1]
+
+        @pl.when(i == 0)
+        def _():
+            wg_scr[:, :] = jnp.zeros_like(wg_scr)
+        wg_scr[:, :] += wg_part
+
+    @pl.when(p == 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            u_scr[:, :] = jax.lax.dot_general(
+                c_ref[:, :], wg_scr[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [2m, 1]
+
+        m = s_scr.shape[0]
+        s_t = s_scr[:, pl.ds(i * tn, tn)]
+        y_t = y_scr[:, pl.ds(i * tn, tn)]
+        g_t = g_scr[:, pl.ds(i * tn, tn)]
+        u = u_scr[:, :]                                       # [2m, 1]
+        us = u[:m, :]                                         # [m, 1]
+        uy = u[m:, :]
+        d = gamma_ref[0, 0] * g_t
+        d += jax.lax.dot_general(us, s_t, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[0]
+        d += jax.lax.dot_general(uy, y_t, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[0]
+        d_ref[:, :] = d
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def direction(s_mem, y_mem, grad, c, gamma, *, tile_n: int = _TILE_N,
+              interpret: bool = False):
+    """Fused quasi-Newton direction ``gamma*g + W^T (C (W g))``.
+
+    ``c`` is the collapsed small-math matrix ``[2m, 2m]`` from the commit
+    cache (``pairs._small_cache(direction_cache=True)``:
+    ``C = c0 + gamma*cg``); ``gamma`` a scalar.  Returns ``d [n]`` float32.
+
+    VMEM use is ~``(2m + 1) * n * 4`` bytes (the scratch copies) — callers
+    gate on that fitting the chip's VMEM and fall back to the two-pass XLA
+    path otherwise.
+    """
+    m, n = s_mem.shape
+    s_p = _pad_to(s_mem, tile_n, 1)
+    y_p = _pad_to(y_mem, tile_n, 1)
+    g_p = _pad_to(grad.reshape(1, n), tile_n, 1)
+    n_pad = s_p.shape[1]
+    grid = (2, n_pad // tile_n)
+    c2 = c.reshape(2 * m, 2 * m).astype(jnp.float32)
+    gam = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+
+    # scratch holds the full padded pair memory: (2m + 1) rows of n floats
+    # plus tile buffers — well past the default 16MB scoped-vmem budget
+    scratch_bytes = (2 * m + 1) * n_pad * 4
+    vmem_limit = min(2 * scratch_bytes + (8 << 20), 110 * 1024 * 1024)
+    d = pl.pallas_call(
+        _direction_kernel,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=int(vmem_limit)),
+        in_specs=[
+            # phase 0 streams tile i; phase 1 pins block 0 (reads scratch)
+            pl.BlockSpec((m, tile_n), lambda p, i: (0, i * (1 - p)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_n), lambda p, i: (0, i * (1 - p)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda p, i: (0, i * (1 - p)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m, 2 * m), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n), lambda p, i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((m, n_pad), jnp.float32),
+            pltpu.VMEM((m, n_pad), jnp.float32),
+            pltpu.VMEM((1, n_pad), jnp.float32),
+            pltpu.VMEM((2 * m, 1), jnp.float32),
+            pltpu.VMEM((2 * m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(s_p, y_p, g_p, c2, gam)
+    return d[0, :n]
+
+
+# ---------------------------------------------------------------------------
 # adaQN projection: W g, (Y*D) g, (Y*D) Y^T fused
 # ---------------------------------------------------------------------------
 def _project_adaqn_kernel(s_ref, y_ref, d_ref, g_ref,

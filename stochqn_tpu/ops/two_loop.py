@@ -232,6 +232,7 @@ def two_loop_cached(
     diag: Optional[jax.Array] = None,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    collapsed: bool = False,
 ) -> jax.Array:
     """Two-loop using the commit-time small-math cache in ``BFGSMemory``.
 
@@ -256,6 +257,34 @@ def two_loop_cached(
     perm = mem.perm
     count = mem.count
     has_pairs = count > 0
+
+    if collapsed and diag is None:
+        # Collapsed form: the entire gamma-scaled two-loop is
+        #   d = gamma*g + W^T ((c0 + gamma*cg) @ (W g)),  W = [s; y]
+        # with (c0, cg) precomputed at commit time
+        # (pairs._small_cache(direction_cache=True)).  Two [2m, n] passes
+        # plus TWO tiny matvecs — the fewest sequential ops per step, which
+        # is what sets the pace inside lax.scan on TPU.  Requires callers
+        # to have committed with direction_cache=True.
+        if h0 > 0:
+            gamma = jnp.asarray(h0, acc_t)
+        else:
+            gamma = mem.gamma
+        gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
+        c = mem.c0 + gamma * mem.cg
+        w = jnp.concatenate([s_mem, y_mem], axis=0)
+        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
+                        precision=PRECISION)
+        u = jnp.matmul(c, wg.astype(acc_t), preferred_element_type=acc_t,
+                       precision=PRECISION)
+        g_acc = grad.astype(acc_t)
+        d = gamma * g_acc + jnp.matmul(u.astype(w.dtype), w,
+                                       preferred_element_type=acc_t,
+                                       precision=PRECISION)
+        # count==0 also covers post-flush staleness of (c0, cg): flush only
+        # resets the scalar indices, so the select below is what masks the
+        # stale collapsed cache (mirrors the classic path's `empty` select).
+        return jnp.where(has_pairs, d, g_acc).astype(dtype)
 
     ydg_st = ydy_st = None
     pallas_ok = (use_pallas and dtype == jnp.float32

@@ -199,3 +199,33 @@ def test_cached_fast_path_empty_memory(rng):
     g = jnp.asarray(rng.standard_normal(n))
     np.testing.assert_allclose(np.asarray(two_loop_cached(g, mem, h0=2.0)),
                                np.asarray(g))
+
+
+def test_collapsed_direction_matches_classic(rng):
+    """The collapsed form d = gamma*g + W^T((c0 + gamma*cg)(W g)) must
+    equal the classic cached two-loop for every ring state and H0 mode."""
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+
+    m, n = 4, 33
+    for ncommit in (0, 1, 3, 4, 7):
+        mem = BFGSMemory.create(m, n, jnp.float64)
+        for i in range(ncommit):
+            s = jnp.asarray(rng.standard_normal(n))
+            y = s * (1.5 + 0.2 * i) + 0.01 * jnp.asarray(
+                rng.standard_normal(n))
+            mem = mem.replace(s_pending=s)
+            mem, _ = commit_pair(mem, y, 0.0, 0.0, direction_cache=True)
+        g = jnp.asarray(rng.standard_normal(n))
+        for h0 in (0.0, 0.7):
+            d_classic = two_loop_cached(g, mem, h0=h0)
+            d_fast = two_loop_cached(g, mem, h0=h0, collapsed=True)
+            np.testing.assert_allclose(np.asarray(d_fast),
+                                       np.asarray(d_classic),
+                                       rtol=1e-12, atol=1e-13)
+        # flushed memory: stale (c0, cg) must be masked -> d == g
+        flushed = mem.flush()
+        d_flush = two_loop_cached(g, flushed, collapsed=True)
+        np.testing.assert_allclose(np.asarray(d_flush), np.asarray(g),
+                                   rtol=0, atol=0)
