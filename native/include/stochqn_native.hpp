@@ -314,6 +314,7 @@ class OLBFGS {
         dir_(n, Real(0)) {}
 
   long iterations() const { return niter_; }
+  std::size_t n() const { return n_; }
 
   // One protocol round; `grad` is the previously requested quantity.
   Request<Real> run(Real step_size, Real* x, const Real* grad) {
@@ -408,6 +409,7 @@ class SQN {
         dir_(n, Real(0)) {}
 
   long iterations() const { return niter_; }
+  std::size_t n() const { return n_; }
 
   Request<Real> run(Real step_size, Real* x, const Real* grad,
                     const Real* hess_vec) {
@@ -554,6 +556,7 @@ class AdaQN {
         dir_(n, Real(0)) {}
 
   long iterations() const { return niter_; }
+  std::size_t n() const { return n_; }
 
   Request<Real> run(Real step_size, Real* x, const Real* grad, Real f) {
     Request<Real> req;

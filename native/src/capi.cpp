@@ -26,6 +26,21 @@ void fill_out(const Request<Real>& r, std::size_t n, Real* req_out,
     std::memcpy(req_vec_out, r.vector, n * sizeof(Real));
 }
 
+// The run-call `n` is caller-supplied and used as the memcpy length into
+// req_out/req_vec_out; a mismatch with the optimizer's own n would read or
+// write out of bounds. Validate against the stored size and fail the call
+// with Task::InvalidInput instead.
+template <class Opt>
+bool n_mismatch(const Opt* opt, std::size_t n, int* task, int* info,
+                int* x_changed, long* iteration) {
+  if (n == opt->n()) return false;
+  *task = static_cast<int>(stochqn_native::Task::InvalidInput);
+  *info = static_cast<int>(stochqn_native::Info::NoProblems);
+  *x_changed = 0;
+  *iteration = opt->iterations();
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -52,8 +67,9 @@ extern "C" {
                                      REAL* req_out, int* info,               \
                                      int* x_changed, long* iteration) {      \
     auto* opt = static_cast<OLBFGS<REAL>*>(h);                               \
-    Request<REAL> r = opt->run(step, x, grad);                               \
     int task;                                                                \
+    if (n_mismatch(opt, n, &task, info, x_changed, iteration)) return task;  \
+    Request<REAL> r = opt->run(step, x, grad);                               \
     fill_out(r, n, req_out, static_cast<REAL*>(nullptr), &task, info,        \
              x_changed, iteration);                                          \
     return task;                                                             \
@@ -86,8 +102,9 @@ DEFINE_OLBFGS(f32, float)
                                   REAL* req_vec_out, int* info,              \
                                   int* x_changed, long* iteration) {         \
     auto* opt = static_cast<SQN<REAL>*>(h);                                  \
-    Request<REAL> r = opt->run(step, x, grad, hess_vec);                     \
     int task;                                                                \
+    if (n_mismatch(opt, n, &task, info, x_changed, iteration)) return task;  \
+    Request<REAL> r = opt->run(step, x, grad, hess_vec);                     \
     fill_out(r, n, req_out, req_vec_out, &task, info, x_changed,             \
              iteration);                                                     \
     return task;                                                             \
@@ -128,8 +145,9 @@ DEFINE_SQN(f32, float)
                                     REAL* req_out, int* info,                \
                                     int* x_changed, long* iteration) {       \
     auto* opt = static_cast<AdaQN<REAL>*>(h);                                \
-    Request<REAL> r = opt->run(step, x, grad, f);                            \
     int task;                                                                \
+    if (n_mismatch(opt, n, &task, info, x_changed, iteration)) return task;  \
+    Request<REAL> r = opt->run(step, x, grad, f);                            \
     fill_out(r, n, req_out, static_cast<REAL*>(nullptr), &task, info,        \
              x_changed, iteration);                                          \
     return task;                                                             \

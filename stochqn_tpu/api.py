@@ -75,7 +75,8 @@ def minimize(loss_fn: Callable, x0, data, *, optimizer: str = "adaQN",
         state = shard_state(state, mesh)
         data = shard_batches(data, mesh)
 
-    epoch_fn = jax.jit(trainer.epoch)
+    epoch_fn = jax.jit(trainer.epoch, static_argnames=("aligned",))
+    upd_freq = getattr(trainer.cfg, "upd_freq", 1)
 
     def full_loss(st):
         flat = jax.tree_util.tree_map(
@@ -94,7 +95,8 @@ def minimize(loss_fn: Callable, x0, data, *, optimizer: str = "adaQN",
             from stochqn_tpu.fused import shuffle_batched
             shuffle_key, sub = jax.random.split(shuffle_key)
             d = shuffle_batched(data, sub)
-        state, infos = epoch_fn(state, d, eta)
+        state, infos = epoch_fn(state, d, eta,
+                                aligned=int(state.niter) % upd_freq == 0)
         all_infos.append(infos)
         epochs_run += 1
         if tol is not None:

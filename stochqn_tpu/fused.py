@@ -357,11 +357,26 @@ class FusedTrainer:
         return adaqn.init(jnp.asarray(x0), self.cfg)
 
     # -- single fused epoch (jit this, or let run_epochs jit it) ---------- #
-    def epoch(self, state, data, step_size):
+    def epoch(self, state, data, step_size, aligned=None):
         """Run one epoch over ``data`` (pytree, leaves ``[B, bs, ...]``).
 
         Returns ``(state, infos[B])``.  Uses the round-chunked layout when
-        ``B % upd_freq == 0`` (see module docstring)."""
+        ``B % upd_freq == 0`` (see module docstring) — valid only when
+        boundaries land at round ends, i.e. ``niter % upd_freq == 0`` at
+        epoch start.
+
+        ``aligned`` is that contract, as a *static* (Python bool) argument:
+
+          * ``True``  — caller asserts alignment; chunked layout if the
+            shapes permit (fresh states + divisible epochs satisfy this).
+          * ``False`` — force the generic per-step path (any ``niter``).
+          * ``None``  (default) — decide automatically: checked against
+            ``state.niter`` when it is concrete; under tracing the
+            dispatch becomes a ``lax.cond`` on ``niter % upd_freq`` so a
+            jitted ``epoch`` is protocol-correct for *any* resumed state
+            (at the cost of compiling both layouts — jit with
+            ``static_argnames=("aligned",)`` and pass the known value to
+            avoid that; ``run_epochs`` does)."""
         num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
         L = getattr(self.cfg, "upd_freq", 1)
 
@@ -371,18 +386,25 @@ class FusedTrainer:
                                    step_size)
             return jax.lax.scan(body, state, data)
 
-        chunked = (num_batches % L == 0 and num_batches >= L)
-        # The chunked layout requires boundaries to land at round ends,
-        # i.e. niter % L == 0 at epoch start.  When the state is concrete
-        # (epoch called outside jit) verify it; under tracing the caller
-        # owns the contract (true for fresh states + aligned epochs).
-        if chunked:
+        shapes_ok = (num_batches % L == 0 and num_batches >= L)
+        if not shapes_ok or aligned is False:
+            return self._epoch_generic(state, data, step_size, num_batches,
+                                       L)
+        if aligned is None:
             try:
-                chunked = int(state.niter) % L == 0
+                aligned = int(state.niter) % L == 0
             except (TypeError, jax.errors.TracerArrayConversionError,
                     jax.errors.ConcretizationTypeError):
-                pass
-        if chunked:
+                # niter is a tracer: dispatch at runtime.  lax.cond keeps
+                # the one-copy cost at epoch (not step) granularity.
+                return jax.lax.cond(
+                    jnp.mod(state.niter, L) == 0,
+                    lambda st: self._epoch_chunked(st, data, step_size,
+                                                   num_batches, L),
+                    lambda st: self._epoch_generic(st, data, step_size,
+                                                   num_batches, L),
+                    state)
+        if aligned:
             return self._epoch_chunked(state, data, step_size, num_batches,
                                        L)
         return self._epoch_generic(state, data, step_size, num_batches, L)
@@ -458,8 +480,11 @@ class FusedTrainer:
         ``decr_step_size(step0, epoch)`` mirrors the guided schedule hook.
         """
         if self._epoch_jit is None:
-            object.__setattr__(self, "_epoch_jit", jax.jit(self.epoch))
+            object.__setattr__(
+                self, "_epoch_jit",
+                jax.jit(self.epoch, static_argnames=("aligned",)))
         epoch_fn = self._epoch_jit
+        L = getattr(self.cfg, "upd_freq", 1)
         infos = []
         for epoch in range(nepochs):
             eta = (step_size if decr_step_size is None
@@ -468,7 +493,12 @@ class FusedTrainer:
             if shuffle_key is not None:
                 shuffle_key, sub = jax.random.split(shuffle_key)
                 d = shuffle_batched(data, sub)
-            state, info = epoch_fn(state, d, eta)
+            # state is concrete here, so resolve the chunked-layout
+            # alignment contract statically — a state resumed mid-round
+            # (e.g. after a non-divisible epoch) routes to the generic
+            # layout instead of silently misplacing boundaries.
+            aligned = int(state.niter) % L == 0
+            state, info = epoch_fn(state, d, eta, aligned=aligned)
             infos.append(info)
         return state, jnp.stack(infos)
 

@@ -283,7 +283,8 @@ class StochasticLogisticRegression:
 
         batch_size = max(1, Xd.shape[0] // int(batches_per_epoch))
         data = batchify((Xd, Yd, Wd), batch_size)
-        epoch_fn = _jax.jit(trainer.epoch)
+        epoch_fn = _jax.jit(trainer.epoch, static_argnames=("aligned",))
+        upd_freq = getattr(cfg, "upd_freq", 1)
         if X_val is not None:
             val_loss = _jax.jit(
                 lambda x: loss_core(x, X_val, Y_val, W_val, reg))
@@ -295,7 +296,8 @@ class StochasticLogisticRegression:
             if shuffle:
                 key, sub = _jax.random.split(key)
                 d = shuffle_batched(data, sub)
-            state, _ = epoch_fn(state, d, jnp.asarray(eta, dtype))
+            state, _ = epoch_fn(state, d, jnp.asarray(eta, dtype),
+                                aligned=int(state.niter) % upd_freq == 0)
             if X_val is not None:
                 lv = float(val_loss(state.x))
                 if verbose:

@@ -117,13 +117,17 @@ class MLPClassifier:
 
         bs = min(self.batch_size, X.shape[0])
         data = batchify((X, Y), bs)
-        epoch_fn = jax.jit(self._trainer.epoch)
+        epoch_fn = jax.jit(self._trainer.epoch,
+                           static_argnames=("aligned",))
+        upd_freq = getattr(self._trainer.cfg, "upd_freq", 1)
         for epoch in range(self.nepochs):
             d = data
             if self.shuffle:
                 key, sk = jax.random.split(key)
                 d = shuffle_batched(data, sk)
-            self._state, _ = epoch_fn(self._state, d, self.step_size)
+            self._state, _ = epoch_fn(
+                self._state, d, self.step_size,
+                aligned=int(self._state.niter) % upd_freq == 0)
         return self
 
     @property

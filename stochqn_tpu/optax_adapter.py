@@ -133,11 +133,15 @@ class PytreeTrainer:
         flat = self._flat0 if params is None else ravel_pytree(params)[0]
         return self.trainer.init(flat)
 
-    def epoch(self, state, data, step_size):
-        return self.trainer.epoch(state, data, step_size)
+    def epoch(self, state, data, step_size, aligned=None):
+        return self.trainer.epoch(state, data, step_size, aligned=aligned)
 
     def run_epochs(self, state, data, nepochs, step_size, **kw):
         return self.trainer.run_epochs(state, data, nepochs, step_size, **kw)
+
+    @property
+    def cfg(self):
+        return self.trainer.cfg
 
     def params(self, state):
         """Current parameters as the original pytree structure."""

@@ -61,22 +61,34 @@ def batch_sharding(mesh: Mesh, ndim: int, example_axis: int = 0
     return NamedSharding(mesh, P(*spec))
 
 
+# Fields whose trailing dimension is the parameter count ``n``.  Matching on
+# names (leaf paths) rather than on shape avoids accidentally sharding the
+# O(m)/O(m^2) small-math caches (gram, bwd_inv, c0, ...) when a small model
+# happens to have n == mem_size or n == 2*mem_size, which would add needless
+# per-step collectives.
+_PARAM_AXIS_FIELDS = frozenset({
+    "x", "s", "y", "s_pending", "f", "grad_prev",
+    "x_sum", "x_avg_prev", "grad_sum_sq",
+})
+
+
 def shard_state(state, mesh: Mesh):
     """Place an optimizer state pytree on the mesh: parameter-axis arrays
-    sharded over ``param``, scalars replicated.
+    sharded over ``param``, everything else (scalars, indices, the small-math
+    caches) replicated.
 
-    Works for all three state dataclasses: every leaf whose trailing
-    dimension equals ``n`` (the parameter count) is sharded on that
-    dimension; everything else is replicated.
+    Works for all three state dataclasses: leaves are selected by field name
+    (:data:`_PARAM_AXIS_FIELDS`), so the selection is independent of whether
+    ``n`` collides with a memory-sized dimension.
     """
-    n = state.x.shape[0]
 
-    def place(leaf):
-        if leaf.ndim >= 1 and leaf.shape[-1] == n:
+    def place(path, leaf):
+        name = path[-1].name if path and hasattr(path[-1], "name") else None
+        if name in _PARAM_AXIS_FIELDS and leaf.ndim >= 1:
             return jax.device_put(leaf, param_sharding(mesh, leaf.ndim))
         return jax.device_put(leaf, replicated(mesh))
 
-    return jax.tree_util.tree_map(place, state)
+    return jax.tree_util.tree_map_with_path(place, state)
 
 
 def shard_batches(data, mesh: Mesh, batched: bool = True):

@@ -320,3 +320,74 @@ def test_fused_adaqn_fisher_bf16(rng):
     l32 = float(obj_fn(jnp.asarray(outs[False], jnp.float32), flat))
     lbf = float(obj_fn(jnp.asarray(outs[True], jnp.float32), flat))
     assert lbf < max(1.15 * l32, l32 + 1e-3), (l32, lbf)
+
+
+class TestMisalignedResume:
+    """The chunked-epoch alignment contract (``fused.py`` module docstring):
+    a state resumed mid-round (``niter % upd_freq != 0``) must never be run
+    through the round-chunked layout — boundaries would land at the wrong
+    iterations silently.  Both the jitted auto dispatch and ``run_epochs``
+    must route such states through the generic path and produce trajectories
+    identical to the forced-generic reference."""
+
+    def _setup(self, rng, L=4, B=8, bs=2, n=6):
+        a = _quad_problem(rng, n).astype(jnp.float32)
+        centers = jnp.asarray(rng.standard_normal((B, bs, n)), jnp.float32)
+        grad_fn, obj_fn = _make_funs(a)
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+        trainer = FusedTrainer("SQN", cfg, grad_fn)
+        return trainer, centers, L
+
+    def _misaligned_state(self, trainer, centers, L):
+        # run 2 batches (< L) through the generic path -> niter = 2
+        state = trainer.init(jnp.zeros(centers.shape[-1], jnp.float32))
+        state, _ = trainer.epoch(state, jax.tree_util.tree_map(
+            lambda c: c[:2], centers), 0.05)
+        assert int(state.niter) % L != 0
+        return state
+
+    def test_jitted_auto_dispatch_is_protocol_correct(self, rng):
+        trainer, centers, L = self._setup(rng)
+        state0 = self._misaligned_state(trainer, centers, L)
+
+        # reference: forced generic layout (correct for any niter)
+        st_gen, info_gen = trainer.epoch(state0, centers, 0.05,
+                                         aligned=False)
+        # jitted auto dispatch with a traced niter must match exactly
+        st_auto, info_auto = jax.jit(trainer.epoch)(state0, centers, 0.05)
+        np.testing.assert_array_equal(np.asarray(info_auto),
+                                      np.asarray(info_gen))
+        np.testing.assert_allclose(np.asarray(st_auto.x),
+                                   np.asarray(st_gen.x), rtol=1e-6)
+        assert int(st_auto.mem.count) == int(st_gen.mem.count)
+        assert int(st_auto.niter) == int(st_gen.niter)
+
+        # ...and must differ from what the (invalid-here) chunked layout
+        # would have produced, proving the dispatch actually matters.
+        st_chk, _ = trainer.epoch(state0, centers, 0.05, aligned=True)
+        assert not np.allclose(np.asarray(st_chk.x), np.asarray(st_gen.x),
+                               rtol=1e-6)
+
+    def test_run_epochs_resumes_misaligned_state(self, rng):
+        trainer, centers, L = self._setup(rng)
+        state0 = self._misaligned_state(trainer, centers, L)
+
+        st_gen, info_gen = trainer.epoch(state0, centers, 0.05,
+                                         aligned=False)
+        st_re, infos = trainer.run_epochs(state0, centers, 1, 0.05)
+        np.testing.assert_array_equal(np.asarray(infos[0]),
+                                      np.asarray(info_gen))
+        np.testing.assert_allclose(np.asarray(st_re.x),
+                                   np.asarray(st_gen.x), rtol=1e-6)
+
+    def test_aligned_fresh_state_still_chunked(self, rng):
+        """Sanity: fresh aligned states keep producing the chunked-layout
+        trajectory through the auto dispatch (no behavior change)."""
+        trainer, centers, L = self._setup(rng)
+        state = trainer.init(jnp.zeros(centers.shape[-1], jnp.float32))
+        st_a, info_a = jax.jit(trainer.epoch)(state, centers, 0.05)
+        st_c, info_c = trainer.epoch(state, centers, 0.05, aligned=True)
+        np.testing.assert_array_equal(np.asarray(info_a),
+                                      np.asarray(info_c))
+        np.testing.assert_allclose(np.asarray(st_a.x), np.asarray(st_c.x),
+                                   rtol=1e-6)
