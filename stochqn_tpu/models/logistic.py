@@ -31,10 +31,17 @@ except Exception:  # pragma: no cover
 
 from stochqn_tpu.guided import SQN, adaQN, oLBFGS, step_size_const
 from stochqn_tpu.models import losses
+from stochqn_tpu.models import sparse as sparse_losses
 
 
 def _densify(X):
     return np.asarray(X.todense()) if issparse(X) else np.asarray(X)
+
+
+def _padded(X, dtype):
+    """Host CSR -> padded-COO jnp arrays (see models/sparse.py)."""
+    idx, val = sparse_losses.csr_to_padded(X, dtype=np.dtype(dtype))
+    return jnp.asarray(idx), jnp.asarray(val)
 
 
 class StochasticLogisticRegression:
@@ -123,44 +130,90 @@ class StochasticLogisticRegression:
         return X, y, sample_weight
 
     def _build_funs(self):
+        """Loss/grad/hessvec closures for the protocol engine.
+
+        CSR inputs route through the padded-COO sparse forms
+        (models/sparse.py) instead of densifying — the reference keeps
+        sparse matrices sparse through its whole driver
+        (``stochqn/_optimizers.py:81-112``, ``_logistic.py:36-247``), and
+        at CTR scale a densify would not fit in memory."""
         dtype = self.optimizer_kwargs.get("dtype", jnp.float32)
         reg = self.reg_param
+        sl = sparse_losses
         if self._is_mult:
             loss_j = jax.jit(losses.multinomial_logistic_loss)
             grad_j = jax.jit(losses.multinomial_logistic_grad)
             hv_j = jax.jit(losses.multinomial_logistic_hessvec)
+            sp_loss = jax.jit(sl.sparse_multinomial_logistic_loss,
+                              static_argnums=4)
+            sp_grad = jax.jit(sl.sparse_multinomial_logistic_grad,
+                              static_argnums=4)
+            sp_hv = jax.jit(sl.sparse_multinomial_logistic_hessvec,
+                            static_argnums=5)
         else:
             loss_j = jax.jit(losses.binary_logistic_loss)
             grad_j = jax.jit(losses.binary_logistic_grad)
             hv_j = jax.jit(losses.binary_logistic_hessvec)
-
-        def prep(x, X):
-            return jnp.asarray(x, dtype), jnp.asarray(_densify(X), dtype)
+            sp_loss = jax.jit(sl.sparse_binary_logistic_loss,
+                              static_argnums=4)
+            sp_grad = jax.jit(sl.sparse_binary_logistic_grad,
+                              static_argnums=4)
+            sp_hv = jax.jit(sl.sparse_binary_logistic_hessvec,
+                            static_argnums=5)
 
         def obj_fun(x, X, y, sample_weight=None, reg_param=reg):
-            x, Xd = prep(x, X)
-            return float(loss_j(x, Xd, y, sample_weight, reg_param))
+            x = jnp.asarray(x, dtype)
+            if issparse(X):
+                idx, val = _padded(X, dtype)
+                return float(sp_loss(x, idx, val, y, X.shape[1],
+                                     sample_weight, reg_param))
+            return float(loss_j(x, jnp.asarray(_densify(X), dtype), y,
+                                sample_weight, reg_param))
 
         def grad_fun(x, X, y, sample_weight=None, reg_param=reg):
-            x, Xd = prep(x, X)
-            return np.asarray(grad_j(x, Xd, y, sample_weight, reg_param))
+            x = jnp.asarray(x, dtype)
+            if issparse(X):
+                idx, val = _padded(X, dtype)
+                return np.asarray(sp_grad(x, idx, val, y, X.shape[1],
+                                          sample_weight, reg_param))
+            return np.asarray(grad_j(x, jnp.asarray(_densify(X), dtype), y,
+                                     sample_weight, reg_param))
 
         def hess_vec_fun(x, v, X, y, sample_weight=None, reg_param=reg):
-            x, Xd = prep(x, X)
+            x = jnp.asarray(x, dtype)
             v = jnp.asarray(v, dtype)
-            return np.asarray(hv_j(x, v, Xd, y, sample_weight, reg_param))
+            if issparse(X):
+                idx, val = _padded(X, dtype)
+                return np.asarray(sp_hv(x, v, idx, val, y, X.shape[1],
+                                        sample_weight, reg_param))
+            return np.asarray(hv_j(x, v, jnp.asarray(_densify(X), dtype), y,
+                                   sample_weight, reg_param))
 
         return obj_fun, grad_fun, hess_vec_fun
 
     def _pred_fun(self):
         if self._is_mult:
             k = self.nclasses
-            return lambda x, X: np.asarray(
-                losses.multinomial_logistic_predict_proba(
+
+            def pred(x, X):
+                if issparse(X):
+                    idx, val = _padded(X, x.dtype)
+                    return np.asarray(
+                        sparse_losses.sparse_multinomial_logistic_predict_proba(
+                            jnp.asarray(x), idx, val, X.shape[1], k))
+                return np.asarray(losses.multinomial_logistic_predict_proba(
                     jnp.asarray(x), jnp.asarray(_densify(X), x.dtype), k))
-        return lambda x, X: np.asarray(
-            losses.binary_logistic_predict_proba(
+            return pred
+
+        def pred(x, X):
+            if issparse(X):
+                idx, val = _padded(X, x.dtype)
+                return np.asarray(
+                    sparse_losses.sparse_binary_logistic_predict_proba(
+                        jnp.asarray(x), idx, val, X.shape[1]))
+            return np.asarray(losses.binary_logistic_predict_proba(
                 jnp.asarray(x), jnp.asarray(_densify(X), x.dtype)))
+        return pred
 
     def _initialize_optimizer(self, X, y):
         if self.optimizer is not None:
@@ -243,36 +296,64 @@ class StochasticLogisticRegression:
             w0 = np.random.normal(
                 size=(X.shape[1] + self.fit_intercept) * n_out)
 
-        Xd = jnp.asarray(_densify(X), dtype)
+        # CSR input trains through the padded-COO sparse forms: features
+        # become (indices, values) leaves and no dense [n, n_features]
+        # matrix ever exists on device (cf. the reference's sparse-aware
+        # driver, ``stochqn/_optimizers.py:81-112``).
+        is_sp = issparse(X)
+        nf = X.shape[1]
+        if is_sp:
+            feats = _padded(X, dtype)
+        else:
+            feats = (jnp.asarray(_densify(X), dtype),)
         if self._is_mult:
             Yd = jnp.asarray(np.asarray(y), dtype)
-            grad_core = losses.multinomial_logistic_grad
-            loss_core = losses.multinomial_logistic_loss
+            if is_sp:
+                grad_core = (lambda x, i, v, Y, w, r: sparse_losses
+                             .sparse_multinomial_logistic_grad(
+                                 x, i, v, Y, nf, w, r))
+                loss_core = (lambda x, i, v, Y, w, r: sparse_losses
+                             .sparse_multinomial_logistic_loss(
+                                 x, i, v, Y, nf, w, r))
+            else:
+                grad_core = losses.multinomial_logistic_grad
+                loss_core = losses.multinomial_logistic_loss
         else:
             Yd = jnp.asarray(2.0 * (np.asarray(y) > 0) - 1.0, dtype)
-            grad_core = losses.binary_logistic_grad
-            loss_core = losses.binary_logistic_loss
+            if is_sp:
+                grad_core = (lambda x, i, v, Y, w, r: sparse_losses
+                             .sparse_binary_logistic_grad(
+                                 x, i, v, Y, nf, w, r))
+                loss_core = (lambda x, i, v, Y, w, r: sparse_losses
+                             .sparse_binary_logistic_loss(
+                                 x, i, v, Y, nf, w, r))
+            else:
+                grad_core = losses.binary_logistic_grad
+                loss_core = losses.binary_logistic_loss
         Wd = jnp.asarray(sample_weight, dtype)
         reg = self.reg_param
 
         if valset_frac is not None:
-            n_rows = Xd.shape[0]
+            n_rows = Yd.shape[0]
             n_val = max(1, int(n_rows * valset_frac))
             rng = np.random.default_rng(self.random_state)
             perm = rng.permutation(n_rows)
             val_idx, tr_idx = perm[:n_val], perm[n_val:]
-            X_val, Y_val, W_val = Xd[val_idx], Yd[val_idx], Wd[val_idx]
-            Xd, Yd, Wd = Xd[tr_idx], Yd[tr_idx], Wd[tr_idx]
+            feats_val = tuple(f[val_idx] for f in feats)
+            Y_val, W_val = Yd[val_idx], Wd[val_idx]
+            feats = tuple(f[tr_idx] for f in feats)
+            Yd, Wd = Yd[tr_idx], Wd[tr_idx]
+            has_val = True
         else:
-            X_val = None
+            has_val = False
 
         def grad_fn(x, batch):
-            Xb, Yb, wb = batch
-            return grad_core(x, Xb, Yb, wb, reg)
+            *fb, Yb, wb = batch
+            return grad_core(x, *fb, Yb, wb, reg)
 
         def obj_fn(x, batch):
-            Xb, Yb, wb = batch
-            return loss_core(x, Xb, Yb, wb, reg)
+            *fb, Yb, wb = batch
+            return loss_core(x, *fb, Yb, wb, reg)
 
         cfg_cls = {"oLBFGS": OLBFGSConfig, "SQN": SQNConfig,
                    "adaQN": AdaQNConfig}[self.optimizer_name]
@@ -281,13 +362,13 @@ class StochasticLogisticRegression:
                                obj_fn=obj_fn)
         state = trainer.init(jnp.asarray(w0, dtype))
 
-        batch_size = max(1, Xd.shape[0] // int(batches_per_epoch))
-        data = batchify((Xd, Yd, Wd), batch_size)
+        batch_size = max(1, Yd.shape[0] // int(batches_per_epoch))
+        data = batchify((*feats, Yd, Wd), batch_size)
         epoch_fn = _jax.jit(trainer.epoch, static_argnames=("aligned",))
         upd_freq = getattr(cfg, "upd_freq", 1)
-        if X_val is not None:
+        if has_val:
             val_loss = _jax.jit(
-                lambda x: loss_core(x, X_val, Y_val, W_val, reg))
+                lambda x: loss_core(x, *feats_val, Y_val, W_val, reg))
             history = LossHistory(tol)
         key = _jax.random.PRNGKey(self.random_state)
         for epoch in range(int(nepochs)):
@@ -298,7 +379,7 @@ class StochasticLogisticRegression:
                 d = shuffle_batched(data, sub)
             state, _ = epoch_fn(state, d, jnp.asarray(eta, dtype),
                                 aligned=int(state.niter) % upd_freq == 0)
-            if X_val is not None:
+            if has_val:
                 lv = float(val_loss(state.x))
                 if verbose:
                     print(f"{self.optimizer_name} - epoch {epoch + 1:2d}, "
