@@ -19,6 +19,60 @@ import jax
 import jax.numpy as jnp
 
 
+def parse_extreme_classification(path, n_features=None, n_labels=None):
+    """Parse an Extreme Classification Repository dataset file.
+
+    The format the reference's BibTeX example consumes
+    (``/root/reference/example/example_stochqn.ipynb`` cell 1): a header
+    line ``n_points n_features n_labels``, then one line per sample of
+    ``lab1,lab2,... idx:val idx:val ...`` where the label list may be
+    empty (line starts directly with ``idx:val`` pairs).
+
+    Unlike the notebook's regex-plus-``eval`` parse, this is a plain
+    tokenizer (no code execution on file contents).  Returns
+    ``(X_csr [n, n_features], Y [n, n_labels] int8)`` with dimensions
+    taken from the header (overridable via the keyword arguments).
+    """
+    import numpy as np
+    from scipy.sparse import csr_matrix
+
+    rows, cols, vals = [], [], []
+    label_rows, label_cols = [], []
+    with open(path, "rt") as f:
+        header = f.readline().split()
+        if len(header) == 3 and n_features is None:
+            n_features = int(header[1])
+        if len(header) == 3 and n_labels is None:
+            n_labels = int(header[2])
+        i = 0
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            start = 0
+            if ":" not in parts[0]:
+                for lab in parts[0].split(","):
+                    if lab:
+                        label_rows.append(i)
+                        label_cols.append(int(lab))
+                start = 1
+            for tok in parts[start:]:
+                k, _, v = tok.partition(":")
+                rows.append(i)
+                cols.append(int(k))
+                vals.append(float(v))
+            i += 1
+    if n_features is None:
+        n_features = max(cols) + 1 if cols else 0
+    if n_labels is None:
+        n_labels = max(label_cols) + 1 if label_cols else 0
+    X = csr_matrix((np.asarray(vals, np.float64), (rows, cols)),
+                   shape=(i, n_features))
+    Y = np.zeros((i, n_labels), np.int8)
+    Y[label_rows, label_cols] = 1
+    return X, Y
+
+
 def prefetch_to_device(iterator: Iterable, size: int = 2,
                        sharding=None) -> Iterator:
     """Stage host batches onto the device ``size`` steps ahead.

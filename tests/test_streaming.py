@@ -80,3 +80,24 @@ def test_stream_olbfgs_and_adaqn(rng):
         lambda r: 0.05 / (r + 1))
     assert int(st2.niter) == B
     assert np.all(np.isfinite(np.asarray(st2.x)))
+
+
+def test_parse_extreme_classification(tmp_path):
+    from stochqn_tpu.utils.data import parse_extreme_classification
+    p = tmp_path / "toy_xc.txt"
+    p.write_text(
+        "4 6 3\n"
+        "0,2 1:0.5 4:1\n"
+        "5:2.5\n"              # no labels: line starts with idx:val
+        "1 0:1 2:3 3:0.25\n"
+        "2,1,0 1:7\n")
+    X, Y = parse_extreme_classification(p)
+    assert X.shape == (4, 6) and Y.shape == (4, 3)
+    dense = np.zeros((4, 6))
+    dense[0, 1], dense[0, 4] = 0.5, 1.0
+    dense[1, 5] = 2.5
+    dense[2, 0], dense[2, 2], dense[2, 3] = 1.0, 3.0, 0.25
+    dense[3, 1] = 7.0
+    np.testing.assert_array_equal(X.toarray(), dense)
+    np.testing.assert_array_equal(
+        Y, [[1, 0, 1], [0, 0, 0], [0, 1, 0], [1, 1, 1]])
