@@ -33,6 +33,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ENGINE = sys.argv[1] if len(sys.argv) > 1 else "fused"
 assert ENGINE in ("fused", "protocol", "reference"), ENGINE
 
+if ENGINE != "fused":
+    # pin the ISA so CPU cache entries are host-portable (same pin as
+    # tests/conftest.py — mixed-ISA AOT entries mis-execute, CLAUDE.md)
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_cpu_max_isa" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_cpu_max_isa=AVX2").strip()
+
 import jax
 
 if ENGINE != "fused":
