@@ -76,3 +76,28 @@ def test_bf16_pairs_with_pallas_falls_back(rng):
     out_plain = two_loop_cached(g, mem, diag=d)
     np.testing.assert_allclose(np.asarray(out_pallas_flag),
                                np.asarray(out_plain), rtol=1e-6)
+
+
+def test_direction_kernel_matches_collapsed_xla(rng):
+    """The one-HBM-pass direction kernel == the collapsed XLA form
+    d = gamma*g + W^T((c0 + gamma*cg)(W g)) on a real commit cache."""
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+    from stochqn_tpu.ops.pallas.two_loop_kernel import direction
+
+    n, m = 900, 4
+    mem = BFGSMemory.create(m, n, jnp.float32)
+    for _ in range(6):   # overfill the ring so perm/wrap is exercised
+        s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = s + 0.3 * jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        mem = mem.replace(s_pending=s)
+        mem, _ = commit_pair(mem, y, 1e-8, 0.0, direction_cache=True)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    ref = two_loop_cached(g, mem, collapsed=True)
+    c = mem.c0 + mem.gamma * mem.cg
+    got = direction(mem.s, mem.y, g, c, mem.gamma, tile_n=256,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=1e-4)
