@@ -138,15 +138,21 @@ def main():
     # warmup / compile (2 epochs: the second warms steady-state caches)
     for _ in range(2):
         state, _ = epoch_fn(state, data, eta, aligned=True)
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))
 
     reps = []
     for _ in range(N_REPS):
         t0 = time.perf_counter()
         for _ in range(EPOCHS_PER_REP):
             state, infos = epoch_fn(state, data, eta, aligned=True)
-        jax.block_until_ready(state.x)
+        # materialize a scalar (D2H) as the completion barrier:
+        # block_until_ready through the tunnel has been observed returning
+        # before the remote execution actually ran; only a data read is a
+        # trustworthy barrier (and it catches NaN divergence too)
+        checksum = float(jnp.sum(state.x))
         dt = time.perf_counter() - t0
+        if checksum != checksum:
+            raise RuntimeError("NaN iterate — bench invalid")
         reps.append(EPOCHS_PER_REP * NUM_BATCHES / dt)
 
     med = statistics.median(reps)

@@ -130,7 +130,7 @@ def main():
         # compile warmup on a throwaway state
         st = trainer.init(params0)
         st, _ = epoch_fn(st, batched(0), jnp.float32(STEP), aligned=True)
-        jax.block_until_ready(st.x)
+        float(jnp.sum(st.x))  # D2H barrier (see bench.py)
 
         state = trainer.init(params0)
         t = 0.0
@@ -139,7 +139,7 @@ def main():
             t0 = time.perf_counter()
             state, _ = epoch_fn(state, data, jnp.float32(STEP),
                                 aligned=int(state.niter) % UPD_FREQ == 0)
-            jax.block_until_ready(state.x)
+            float(jnp.sum(state.x))  # D2H barrier (see bench.py)
             t += time.perf_counter() - t0
             epochs_out.append((t, test_acc(trainer.params(state), Xte, yte)))
 

@@ -62,11 +62,11 @@ def main():
         ep = jax.jit(tr.epoch)
         eta = jnp.float32(1e-2 if "adaQN" not in name else 1e-1)
         state, _ = ep(state, (X, Y), eta)
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         t0 = time.perf_counter()
         for _ in range(5):
             state, _ = ep(state, (X, Y), eta)
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         dt = (time.perf_counter() - t0) / 5
         ok = bool(jnp.all(jnp.isfinite(state.x)))
         print(f"{name:26s} {B/dt:9.0f} iters/s  ({dt*1e3:6.2f} ms/epoch)"

@@ -46,11 +46,11 @@ def main():
         state = tr.init(x0)
         ep = jax.jit(tr.epoch)
         state, _ = ep(state, targets, jnp.float32(1e-2))
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         t0 = time.perf_counter()
         for _ in range(3):
             state, _ = ep(state, targets, jnp.float32(1e-2))
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         dt = (time.perf_counter() - t0) / 3
         pair_mb = 2 * MEM * N * (2 if bf16 else 4) / 1e6
         print(f"pairs_{'bf16' if bf16 else 'f32 '}: "

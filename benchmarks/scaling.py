@@ -77,11 +77,11 @@ def run(n_devices: int) -> float:
 
     epoch = jax.jit(trainer.epoch)
     state, _ = epoch(state, data, jnp.float32(1e-2))      # warmup/compile
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     t0 = time.perf_counter()
     for _ in range(EPOCHS):
         state, _ = epoch(state, data, jnp.float32(1e-2))
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     return EPOCHS * NUM_BATCHES / (time.perf_counter() - t0)
 
 
@@ -126,11 +126,11 @@ def run_param(n_devices: int) -> float:
 
     epoch = jax.jit(trainer.epoch, static_argnames=("aligned",))
     state, _ = epoch(state, data, jnp.float32(1e-2), aligned=True)
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     t0 = time.perf_counter()
     for _ in range(LN_EPOCHS):
         state, _ = epoch(state, data, jnp.float32(1e-2), aligned=True)
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     return LN_EPOCHS * LN_BATCHES / (time.perf_counter() - t0)
 
 

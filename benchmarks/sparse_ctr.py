@@ -121,7 +121,7 @@ def main():
                                               UPD_FREQ), sharding=batch_shard)
         for rd in stream:
             state, _ = round_fn(state, rd, jnp.float32(0.05))
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
 
         times = []
         for _ in range(REPS):
@@ -130,7 +130,7 @@ def main():
             t0 = time.perf_counter()
             for rd in stream:
                 state, _ = round_fn(state, rd, jnp.float32(0.05))
-            jax.block_until_ready(state.x)
+            float(jnp.sum(state.x))  # D2H barrier (see bench.py)
             times.append(time.perf_counter() - t0)
         label = f"cpu-mesh-{ndev}dev-streamed"
     else:
@@ -142,14 +142,14 @@ def main():
         state = trainer.init(jnp.zeros(N_FEATURES))
         epoch_fn = jax.jit(trainer.epoch, static_argnames=("aligned",))
         state, _ = epoch_fn(state, data, jnp.float32(0.05), aligned=True)
-        jax.block_until_ready(state.x)
+        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             for _ in range(EPOCHS):
                 state, _ = epoch_fn(state, data, jnp.float32(0.05),
                                     aligned=True)
-            jax.block_until_ready(state.x)
+            float(jnp.sum(state.x))  # D2H barrier (see bench.py)
             times.append((time.perf_counter() - t0) / EPOCHS)
         label = f"tpu-1chip-{jax.devices()[0].device_kind}"
 

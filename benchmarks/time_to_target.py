@@ -139,7 +139,7 @@ def run_ours(Xb, Yb, x0, target):
     # compile (excluded from timing, reported separately)
     t0 = time.perf_counter()
     warm_state, _ = epoch_fn(state, (X, Y), jnp.float32(STEP))
-    jax.block_until_ready(warm_state.x)
+    float(jnp.sum(warm_state.x))  # D2H barrier (see bench.py)
     compile_s = time.perf_counter() - t0
 
     n_total = NUM_BATCHES * BATCH_SIZE
@@ -157,7 +157,7 @@ def run_ours(Xb, Yb, x0, target):
         loss = float(loss_fn(state.x))
         if loss <= target:
             break
-    jax.block_until_ready(state.x)
+    float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     dt = time.perf_counter() - t0
     return loss, dt, epochs, compile_s
 

@@ -121,9 +121,11 @@ class AdaQNConfig:
     h0_exact_reference: bool = True
     pairs_bf16: bool = False     # see OLBFGSConfig.pairs_bf16
     fisher_bf16: bool = False    # bfloat16 Fisher gradient store (f32 math)
-    # Use the Pallas fused projection kernel for the per-step diagonal-H0
-    # two-loop (single VMEM-resident pass computing W g, (Y*D) g, (Y*D) Y^T).
-    use_pallas: bool = False
+    # Pallas fused projection kernel for the per-step diagonal-H0 two-loop
+    # (single pass computing W g, (Y*D) g, (Y*D) Y^T).  None = auto: enabled
+    # on TPU once the pair memory is far past VMEM (n >= 12M, the measured
+    # crossover — BENCH_NOTES.md); True/False force it.
+    use_pallas: bool | None = None
 
     @classmethod
     def create(cls, mem_size=10, fisher_size=100, bfgs_upd_freq=20,
@@ -131,7 +133,7 @@ class AdaQNConfig:
                rmsprop_weight=None, y_reg=None, use_grad_diff=False,
                check_nan=True, h0_exact_reference=True,
                pairs_bf16=False, fisher_bf16=False,
-               use_pallas=False) -> "AdaQNConfig":
+               use_pallas=None) -> "AdaQNConfig":
         if mem_size <= 0 or bfgs_upd_freq <= 0:
             raise ValueError("'mem_size' and 'bfgs_upd_freq' must be positive")
         # Reference: fisher_size=None forces use_grad_diff
@@ -163,5 +165,5 @@ class AdaQNConfig:
             h0_exact_reference=bool(h0_exact_reference),
             pairs_bf16=bool(pairs_bf16),
             fisher_bf16=bool(fisher_bf16),
-            use_pallas=bool(use_pallas),
+            use_pallas=None if use_pallas is None else bool(use_pallas),
         )

@@ -230,7 +230,7 @@ def two_loop_cached(
     *,
     h0: float = 0.0,
     diag: Optional[jax.Array] = None,
-    use_pallas: bool = False,
+    use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
     collapsed: bool = False,
 ) -> jax.Array:
@@ -287,6 +287,14 @@ def two_loop_cached(
         return jnp.where(has_pairs, d, g_acc).astype(dtype)
 
     ydg_st = ydy_st = None
+    if use_pallas is None:
+        # auto: the fused projection kernel beats XLA only once the pair
+        # memory is far past VMEM (measured crossover between n = 4M and
+        # 16M on v5e — benchmarks/kernels_bench.py, BENCH_NOTES.md); below
+        # that, XLA's own fusion (and its VMEM placement of the hoisted
+        # concat at n <~ 1.2M) wins.
+        use_pallas = (n >= 12_000_000
+                      and jax.devices()[0].platform not in ("cpu", "gpu"))
     pallas_ok = (use_pallas and dtype == jnp.float32
                  and s_mem.dtype == jnp.float32)
     if pallas_ok and diag is not None:
