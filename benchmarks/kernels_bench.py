@@ -44,32 +44,61 @@ def chain_iters(n):
     of payload, so size the chain to run ~2 s (overhead < 2.5%).  Estimated
     step: two [2m, n] f32 passes at ~40% of peak BW."""
     est_step = max(n * 5e-10, 20e-6)          # seconds
-    return int(min(20000, max(150, 2.0 / est_step)))
+    return int(min(5000, max(150, 0.5 / est_step)))
 
 
 def timeit(fn, g0, ops, iters=300, reps=3):
-    """Chained timing inside ONE lax.scan: each step's input depends on the
-    previous step's output (the backend memoizes identical executions —
-    CLAUDE.md) and the per-dispatch tunnel round-trip (~40-45 ms) is paid
-    once per chain, amortized to noise via ``chain_iters``-length chains.
-    Operands are jit ARGUMENTS, not closures — closed-over arrays embed as
-    literal constants in the compile payload, which the remote compiler
-    rejects (HTTP 413) beyond ~100 MB."""
-    @jax.jit
-    def chain(g, g0, o):
-        def body(g, _):
-            return g0 + 1e-3 * fn(g, o), None
-        return jax.lax.scan(body, g, None, length=iters)[0]
+    """Marginal per-step time of ``fn`` inside a lax.scan chain.
 
-    g = chain(g0, g0, ops)           # compile + settle caches
-    jax.block_until_ready(g)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        g = chain(g, g0, ops)
-        jax.block_until_ready(g)
-        best = min(best, time.perf_counter() - t0)
-    return best / iters * 1e6        # us
+    Measurement rules learned the hard way on this backend (each violated
+    rule produced plausible-looking garbage):
+      * every step's output must feed BOTH the next step's input and a
+        returned accumulator — otherwise the tunnel backend elides/replays
+        chains wholesale ("0.0 us" steps at 400,000% of peak HBM);
+      * operands must be jit ARGUMENTS — closures embed them as literal
+        constants, bloating the remote-compile payload past its 413 limit
+        and disabling XLA's loop-invariant handling of the pair memory;
+      * the tunnel charges a large fixed cost per dispatch, so the
+        marginal cost comes from the difference of two chain lengths
+        (iters and 4*iters), not from a single chain.
+    """
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def chain(g, g0, o, length):
+        def body(carry, t):
+            g, acc = carry
+            g2 = g0 + 1e-5 * fn(g, o) + t * 1e-8
+            return (g2, acc + jnp.sum(g2[:8])), None
+        (g, acc), _ = jax.lax.scan(
+            body, (g, jnp.float32(0)),
+            jnp.arange(length, dtype=jnp.float32))
+        return g + acc * 1e-12, acc
+
+    def run(length, g):
+        best = float("inf")
+        for rep in range(reps):
+            g = g + jnp.float32(1e-7 * (rep + 1))
+            t0 = time.perf_counter()
+            g, acc = chain(g, g0, ops, length)
+            # MATERIALIZE (scalar D2H) inside the timed region:
+            # block_until_ready through the tunnel can return before the
+            # remote execution has actually run (observed mid-session);
+            # only a data read is a trustworthy completion barrier.
+            float(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best, g
+
+    g, a = chain(g0, g0, ops, iters)           # compile short
+    g, a = chain(g, g0, ops, 4 * iters)        # compile long
+    float(a)
+    t_short, g = run(iters, g)
+    t_long, g = run(4 * iters, g)
+    if os.environ.get("KB_DEBUG"):
+        print(f"    [debug] iters={iters} t_short={t_short*1e3:.1f}ms "
+              f"t_long={t_long*1e3:.1f}ms dev={list(g.devices())[0]} "
+              f"gsum={float(jnp.sum(g)):.4f}")
+    return max(t_long - t_short, 1e-9) / (3 * iters) * 1e6   # us/step
 
 
 def useful_bytes(n, st_bytes):
@@ -78,20 +107,23 @@ def useful_bytes(n, st_bytes):
 
 
 def bench(n, include_pallas, include_concat):
-    rng = np.random.default_rng(0)
-    s = jnp.asarray(rng.standard_normal((M, n)), jnp.float32)
-    y = s + 0.3 * jnp.asarray(rng.standard_normal((M, n)), jnp.float32)
+    # generate operands ON DEVICE (jax.random): host->device transfer of
+    # multi-GB arrays through the tunnel takes tens of minutes at 64M
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    s = jax.random.normal(keys[0], (M, n), jnp.float32)
+    y = s + 0.3 * jax.random.normal(keys[1], (M, n), jnp.float32)
     ops = {
         "s": s, "y": y,
         "s16": s.astype(jnp.bfloat16), "y16": y.astype(jnp.bfloat16),
-        "diag": jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32),
-        "c": jnp.asarray(rng.standard_normal((2 * M, 2 * M)) * 0.01,
-                         jnp.float32),
+        "diag": jax.random.uniform(keys[2], (n,), jnp.float32, 0.1, 2.0),
+        "c": jnp.asarray(
+            np.random.default_rng(0).standard_normal((2 * M, 2 * M)) * 0.01,
+            jnp.float32),
         "gamma": jnp.float32(0.7),
     }
     if include_concat:   # single [2m, n] pair buffer; skipped at 64M (HBM)
         ops["w"] = jnp.concatenate([s, y], axis=0)
-    g0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    g0 = jax.random.normal(keys[3], (n,), jnp.float32)
     del s, y
 
     def mm(a, b):
@@ -106,6 +138,15 @@ def bench(n, include_pallas, include_concat):
     def xla_wbuf(g, o):
         u = mm(o["c"], mm(o["w"], g))
         return o["gamma"] * g + mm(u, o["w"])
+
+    def xla_fast(g, o):
+        # default precision (bf16 inputs, f32 accumulation) — quantifies
+        # what the production path's Precision.HIGHEST costs
+        w = jnp.concatenate([o["s"], o["y"]], axis=0)
+        wg = jnp.matmul(w, g, preferred_element_type=jnp.float32)
+        u = jnp.matmul(o["c"], wg)
+        return o["gamma"] * g + jnp.matmul(u, w,
+                                           preferred_element_type=jnp.float32)
 
     def xla_split(g, o):
         wg = jnp.concatenate([mm(o["s"], g), mm(o["y"], g)])
@@ -138,7 +179,8 @@ def bench(n, include_pallas, include_concat):
         wg, ydg, ydy = tlk.project_adaqn(o["s"], o["y"], o["diag"], g)
         return g + 1e-6 * (jnp.sum(wg) + jnp.sum(ydg) + jnp.sum(ydy))
 
-    variants = [("xla/split", xla_split, 4), ("bf16/split", bf16_split, 2)]
+    variants = [("xla/fast", xla_fast, 4), ("xla/split", xla_split, 4),
+                ("bf16/split", bf16_split, 2)]
     if include_concat:
         variants.insert(0, ("xla/wbuf", xla_wbuf, 4))
         variants.insert(0, ("xla/concat", xla_concat, 4))
@@ -174,11 +216,18 @@ def bench(n, include_pallas, include_concat):
 
 def main():
     quick = "--quick" in sys.argv
+    only = [int(a) for a in sys.argv[1:] if a.isdigit()]
     results = {"m": M, "device": jax.devices()[0].device_kind,
                "peak_bw_gb_s": PEAK_BW / 1e9, "sizes": {}}
-    sizes = [292_083, 655_360, 1_000_000, 4_000_000, 16_000_000, 64_000_000]
+    # 64M is omitted: the ensemble (f32 pairs + bf16 copies + XLA's hoisted
+    # concat temp) exceeds the 16 GB HBM; production at that scale uses
+    # bf16 pair storage and/or param sharding (benchmarks/large_n.py,
+    # parallel/mesh.py).
+    sizes = [292_083, 655_360, 1_000_000, 4_000_000, 16_000_000]
     if quick:
         sizes = [1_000_000, 16_000_000]
+    if only:
+        sizes = only
     for n in sizes:
         # pallas/dir parks the pair memory in VMEM scratch; measured total
         # stack need is ~(3m + 2) * n * 4 bytes (scratch + staging), must
@@ -188,6 +237,10 @@ def main():
         include_concat = n <= 16_000_000               # 64M concat OOMs HBM
         results["sizes"][str(n)] = bench(n, include_pallas, include_concat)
     print(json.dumps(results))
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "KERNELS.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
