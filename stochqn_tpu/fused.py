@@ -334,6 +334,13 @@ class FusedTrainer:
     grad_fn: GradFn
     obj_fn: Optional[ObjFn] = None
     val_data: Optional[Batch] = None
+    # Unroll factor for the inner per-step ``lax.scan``s.  Each scan
+    # iteration is tiny (two streaming passes + a minibatch gradient), so
+    # the XLA while-loop's per-iteration overhead is a measurable slice of
+    # the step; unrolling amortizes it without changing semantics
+    # (lax.scan handles any factor; trajectories are identical).  1 = off:
+    # measured fastest at flagship scale — see BENCH_NOTES.md unroll sweep.
+    unroll: int = 1
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -384,7 +391,7 @@ class FusedTrainer:
             def body(st, batch):
                 return olbfgs_step(self.cfg, self.grad_fn, st, batch,
                                    step_size)
-            return jax.lax.scan(body, state, data)
+            return jax.lax.scan(body, state, data, unroll=self.unroll)
 
         shapes_ok = (num_batches % L == 0 and num_batches >= L)
         if not shapes_ok or aligned is False:
@@ -422,7 +429,8 @@ class FusedTrainer:
             def inner_o(st2, batch):
                 return olbfgs_step(self.cfg, self.grad_fn, st2, batch,
                                    step_size)
-            return jax.lax.scan(inner_o, state, round_data)
+            return jax.lax.scan(inner_o, state, round_data,
+                                unroll=self.unroll)
 
         L = jax.tree_util.tree_leaves(round_data)[0].shape[0]
         base = _sqn_base if self.optimizer == "SQN" else _adaqn_base
@@ -431,7 +439,8 @@ class FusedTrainer:
             st2, bad = base(self.cfg, self.grad_fn, st2, batch, step_size)
             return st2, bad
 
-        st, bads = jax.lax.scan(inner, state, round_data)
+        st, bads = jax.lax.scan(inner, state, round_data,
+                                unroll=self.unroll)
         big = _flat(round_data)
         if self.optimizer == "SQN":
             st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
@@ -469,7 +478,8 @@ class FusedTrainer:
                                       st, batch, big, fval, step_size)
             return st, info
 
-        return jax.lax.scan(body, state, jnp.arange(num_batches))
+        return jax.lax.scan(body, state, jnp.arange(num_batches),
+                            unroll=self.unroll)
 
     # -- multi-epoch driver ------------------------------------------------ #
     def run_epochs(self, state, data, nepochs, step_size,

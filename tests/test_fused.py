@@ -265,6 +265,30 @@ def test_fused_scan_counts_iterations(rng):
     assert infos.shape == (B,)
 
 
+@pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
+def test_unroll_is_trajectory_identical(rng, kind):
+    """``FusedTrainer(unroll=k)`` is a pure scheduling knob: the unrolled
+    scan must produce the same trajectory (identical program semantics,
+    only loop bookkeeping amortized)."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    grad_fn, obj_fn = _make_funs(a)
+    if kind == "oLBFGS":
+        cfg = OLBFGSConfig.create(mem_size=3)
+    elif kind == "SQN":
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    else:
+        cfg = AdaQNConfig.create(mem_size=3, bfgs_upd_freq=L, max_incr=1.01)
+    obj = obj_fn if kind == "adaQN" else None
+    base = _fused_run(FusedTrainer(kind, cfg, grad_fn, obj_fn=obj),
+                      centers, NEPOCHS, 0.05)
+    unrolled = _fused_run(
+        FusedTrainer(kind, cfg, grad_fn, obj_fn=obj, unroll=2),
+        centers, NEPOCHS, 0.05)
+    np.testing.assert_allclose(unrolled, base, rtol=RTOL, atol=ATOL)
+
+
 def test_batchify_drops_tail(rng):
     data = {"x": jnp.zeros((10, 3)), "y": jnp.zeros((10,))}
     out = batchify(data, 4)
