@@ -175,12 +175,21 @@ def bench(n, include_pallas, include_concat):
     def pallas_dir(g, o):
         return tlk.direction(o["s"], o["y"], g, o["c"], o["gamma"])
 
+    def pallas_stream(g, o):
+        return tlk.direction_streamed(o["s"], o["y"], g, o["c"], o["gamma"])
+
+    def pallas_stream16(g, o):
+        return tlk.direction_streamed(o["s16"], o["y16"], g, o["c"],
+                                      o["gamma"])
+
     def adaqn_pallas(g, o):
         wg, ydg, ydy = tlk.project_adaqn(o["s"], o["y"], o["diag"], g)
         return g + 1e-6 * (jnp.sum(wg) + jnp.sum(ydg) + jnp.sum(ydy))
 
     variants = [("xla/fast", xla_fast, 4), ("xla/split", xla_split, 4),
-                ("bf16/split", bf16_split, 2)]
+                ("bf16/split", bf16_split, 2),
+                ("pallas/stream", pallas_stream, 4),
+                ("pallas/stream16", pallas_stream16, 2)]
     if include_concat:
         variants.insert(0, ("xla/wbuf", xla_wbuf, 4))
         variants.insert(0, ("xla/concat", xla_concat, 4))
@@ -239,6 +248,16 @@ def main():
     print(json.dumps(results))
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "KERNELS.json")
+    # merge into the existing record (partial runs update their sizes
+    # in place instead of wiping the rest of the table)
+    if os.path.exists(out):
+        with open(out) as f:
+            prev = json.load(f)
+        merged_sizes = prev.get("sizes", {})
+        for k, v in results["sizes"].items():
+            merged_sizes.setdefault(k, {}).update(v)
+        results["sizes"] = dict(sorted(merged_sizes.items(),
+                                       key=lambda kv: int(kv[0])))
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from stochqn_tpu.core.state import BFGSMemory, FisherMemory
-from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm
+from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm, _mem_mm
 
 
 def direction_is_bad(direction: jax.Array) -> jax.Array:
@@ -218,12 +218,9 @@ def fisher_y(fisher: FisherMemory, s: jax.Array) -> jax.Array:
     product is one ``psum`` of a length-``k`` vector over ICI.
     """
     acc_t = jnp.promote_types(s.dtype, jnp.float32)
-    fs = jnp.matmul(fisher.f, s, preferred_element_type=acc_t,
-                    precision=PRECISION)                          # [k]
+    fs = _mem_mm(fisher.f, s, acc_t)                              # [k]
     k = jnp.arange(fisher.f.shape[0], dtype=jnp.int32)
     fs = jnp.where(k < fisher.count, fs, jnp.zeros_like(fs))
-    y = jnp.matmul(fs, fisher.f.astype(acc_t),
-                   preferred_element_type=acc_t,
-                   precision=PRECISION)                           # [n]
+    y = _mem_mm(fs, fisher.f, acc_t)                              # [n]
     denom = jnp.maximum(fisher.count, 1).astype(acc_t)
     return (y / denom).astype(s.dtype)

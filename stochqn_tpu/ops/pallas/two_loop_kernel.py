@@ -228,6 +228,114 @@ def direction(s_mem, y_mem, grad, c, gamma, *, tile_n: int = _TILE_N,
 
 
 # ---------------------------------------------------------------------------
+# Streamed direction kernel: two HBM passes, no VMEM parking, bf16-capable
+# ---------------------------------------------------------------------------
+def _direction_streamed_kernel(s_ref, y_ref, g_ref, c_ref, gamma_ref, d_ref,
+                               wg_scr, u_scr):
+    """Two-phase grid ``(2, n_tiles)`` that RE-READS the pair-memory tiles
+    from HBM in phase 1 instead of parking them in scratch (contrast
+    :func:`direction`): two streaming passes over ``W`` — the
+    information-theoretic floor once W exceeds VMEM — with no size cap.
+
+    The payoff is dtype control: tiles are upcast to float32 *in VMEM*, so
+    with bfloat16 pair storage the f32 copy never exists in HBM (the XLA
+    bf16 path loses ~half its bandwidth advantage to exactly that
+    materialization — BENCH_NOTES.md kernel study), and the gradient stays
+    exact f32 in both passes (the XLA bf16 path rounds ``g`` to bf16).
+    """
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        s = s_ref[:, :].astype(jnp.float32)
+        y = y_ref[:, :].astype(jnp.float32)
+        g = g_ref[:, :]                                       # [1, TN] f32
+        wg_s = jax.lax.dot_general(
+            s, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)               # [m, 1]
+        wg_y = jax.lax.dot_general(
+            y, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(i == 0)
+        def _():
+            wg_scr[:, :] = jnp.zeros_like(wg_scr)
+        m = s_ref.shape[0]
+        wg_scr[:m, :] += wg_s
+        wg_scr[m:, :] += wg_y
+        d_ref[:, :] = jnp.zeros_like(d_ref)   # defined output; overwritten
+
+    @pl.when(p == 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            u_scr[:, :] = jax.lax.dot_general(
+                c_ref[:, :], wg_scr[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [2m, 1]
+
+        m = s_ref.shape[0]
+        s = s_ref[:, :].astype(jnp.float32)
+        y = y_ref[:, :].astype(jnp.float32)
+        g = g_ref[:, :]
+        u = u_scr[:, :]
+        d = gamma_ref[0, 0] * g
+        d += jax.lax.dot_general(u[:m, :], s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d += jax.lax.dot_general(u[m:, :], y, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        d_ref[:, :] = d
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def direction_streamed(s_mem, y_mem, grad, c, gamma, *, tile_n: int = 8192,
+                       interpret: bool = False):
+    """Fused collapsed-form direction ``gamma*g + W^T (C (W g))`` as two
+    streamed HBM passes over the pair memory.
+
+    Accepts float32 OR bfloat16 ``s_mem``/``y_mem`` (upcast per-tile in
+    VMEM; accumulation and output are float32).  ``grad`` must be float32.
+    No VMEM size gate — scratch is ``O(m)``.
+    """
+    m, n = s_mem.shape
+    s_p = _pad_to(s_mem, tile_n, 1)
+    y_p = _pad_to(y_mem, tile_n, 1)
+    g_p = _pad_to(grad.reshape(1, n).astype(jnp.float32), tile_n, 1)
+    n_pad = s_p.shape[1]
+    grid = (2, n_pad // tile_n)
+    c2 = c.reshape(2 * m, 2 * m).astype(jnp.float32)
+    gam = jnp.asarray(gamma, jnp.float32).reshape(1, 1)
+
+    d = pl.pallas_call(
+        _direction_streamed_kernel,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        in_specs=[
+            pl.BlockSpec((m, tile_n), lambda p, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_n), lambda p, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda p, i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * m, 2 * m), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_n), lambda p, i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * m, 1), jnp.float32),
+            pltpu.VMEM((2 * m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(s_p, y_p, g_p, c2, gam)
+    return d[0, :n]
+
+
+# ---------------------------------------------------------------------------
 # adaQN projection: W g, (Y*D) g, (Y*D) Y^T fused
 # ---------------------------------------------------------------------------
 def _project_adaqn_kernel(s_ref, y_ref, d_ref, g_ref,

@@ -53,6 +53,27 @@ from jax.scipy.linalg import solve_triangular
 PRECISION = jax.lax.Precision.HIGHEST
 
 
+def _mem_mm(a, b, acc_t):
+    """Streaming matmul against the pair/Fisher memory, storage-aware.
+
+    float32 storage: ``Precision.HIGHEST`` — measured free (the passes are
+    bandwidth-bound; BENCH_NOTES kernel study, finding 5).
+
+    bfloat16 storage: upcast *inside* the matmul and use default precision.
+    A mixed-dtype (or HIGHEST) matmul here makes XLA materialize a float32
+    copy of the ``[2m, n]`` buffer in HBM, forfeiting ~half the bandwidth
+    the bf16 storage bought — measured 3,588 -> 2,400 us (1.5x) on the
+    collapsed direction at n=16M (BENCH_NOTES bf16-forms study).  The MXU
+    pass rounds the non-storage operand to bf16 (standard mixed-precision
+    semantics; accumulation stays ``acc_t``).
+    """
+    if a.dtype == jnp.bfloat16 or b.dtype == jnp.bfloat16:
+        return jnp.matmul(a.astype(acc_t), b.astype(acc_t),
+                          preferred_element_type=acc_t)
+    return jnp.matmul(a, b, preferred_element_type=acc_t,
+                      precision=PRECISION)
+
+
 def _chrono_perm(mem_size: int, head: jax.Array, count: jax.Array) -> jax.Array:
     """Storage row of the c-th oldest pair, for c = 0..mem_size-1."""
     start = jnp.mod(head - count, mem_size)
@@ -133,16 +154,13 @@ def two_loop(
             gram = gram.astype(acc_t)
         else:
             w = jnp.concatenate([s_mem, y_mem], axis=0)
-            wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
-                    precision=PRECISION)
+            wg = _mem_mm(w, grad, acc_t)
             gram = gram.astype(acc_t)
     else:
         w = jnp.concatenate([s_mem, y_mem], axis=0)            # [2m, n]
-        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
-                    precision=PRECISION)  # [2m]
+        wg = _mem_mm(w, grad, acc_t)                           # [2m]
         if gram is None:
-            gram = jnp.matmul(w, w.T, preferred_element_type=acc_t,
-                    precision=PRECISION)
+            gram = _mem_mm(w, w.T, acc_t)
         else:
             gram = gram.astype(acc_t)
 
@@ -181,11 +199,9 @@ def two_loop(
                     precision=PRECISION))
     else:
         if yd_g_st is None:
-            yd = y_mem * diag[None, :].astype(dtype)
-            yd_g_st = jnp.matmul(yd, grad, preferred_element_type=acc_t,
-                    precision=PRECISION)
-            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t,
-                    precision=PRECISION)
+            yd = y_mem.astype(acc_t) * diag[None, :].astype(acc_t)
+            yd_g_st = _mem_mm(yd, grad, acc_t)
+            ydy_st = _mem_mm(yd, y_mem.T, acc_t)
         yd_g = yd_g_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
         y_r0 = yd_g - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,
@@ -205,10 +221,8 @@ def two_loop(
     inv_perm_coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
     inv_perm_alpha = jnp.zeros((m,), acc_t).at[perm].set(alpha)
 
-    st_alpha_y = jnp.matmul(inv_perm_alpha, y_mem, preferred_element_type=acc_t,
-                    precision=PRECISION)
-    st_coeff_s = jnp.matmul(inv_perm_coeff_s, s_mem, preferred_element_type=acc_t,
-                    precision=PRECISION)
+    st_alpha_y = _mem_mm(inv_perm_alpha, y_mem, acc_t)
+    st_coeff_s = _mem_mm(inv_perm_coeff_s, s_mem, acc_t)
 
     g_acc = grad.astype(acc_t)
     if diag is None:
@@ -273,14 +287,11 @@ def two_loop_cached(
         gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
         c = mem.c0 + gamma * mem.cg
         w = jnp.concatenate([s_mem, y_mem], axis=0)
-        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
-                        precision=PRECISION)
+        wg = _mem_mm(w, grad, acc_t)
         u = jnp.matmul(c, wg.astype(acc_t), preferred_element_type=acc_t,
                        precision=PRECISION)
         g_acc = grad.astype(acc_t)
-        d = gamma * g_acc + jnp.matmul(u.astype(w.dtype), w,
-                                       preferred_element_type=acc_t,
-                                       precision=PRECISION)
+        d = gamma * g_acc + _mem_mm(u, w, acc_t)
         # count==0 also covers post-flush staleness of (c0, cg): flush only
         # resets the scalar indices, so the select below is what masks the
         # stale collapsed cache (mirrors the classic path's `empty` select).
@@ -304,8 +315,7 @@ def two_loop_cached(
         wg = wg.astype(acc_t)
     else:
         w = jnp.concatenate([s_mem, y_mem], axis=0)
-        wg = jnp.matmul(w, grad, preferred_element_type=acc_t,
-                    precision=PRECISION)
+        wg = _mem_mm(w, grad, acc_t)
 
     sg = wg[:m][perm]
     yg = wg[m:][perm]
@@ -325,11 +335,9 @@ def two_loop_cached(
                     precision=PRECISION))
     else:
         if ydg_st is None:
-            yd = y_mem * diag[None, :].astype(dtype)
-            ydg_st = jnp.matmul(yd, grad, preferred_element_type=acc_t,
-                    precision=PRECISION)
-            ydy_st = jnp.matmul(yd, y_mem.T, preferred_element_type=acc_t,
-                    precision=PRECISION)
+            yd = y_mem.astype(acc_t) * diag[None, :].astype(acc_t)
+            ydg_st = _mem_mm(yd, grad, acc_t)
+            ydy_st = _mem_mm(yd, y_mem.T, acc_t)
         ydg = ydg_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
         y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,
@@ -344,10 +352,8 @@ def two_loop_cached(
     coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
     alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
 
-    st_alpha_y = jnp.matmul(alpha_st, y_mem, preferred_element_type=acc_t,
-                    precision=PRECISION)
-    st_coeff_s = jnp.matmul(coeff_s, s_mem, preferred_element_type=acc_t,
-                    precision=PRECISION)
+    st_alpha_y = _mem_mm(alpha_st, y_mem, acc_t)
+    st_coeff_s = _mem_mm(coeff_s, s_mem, acc_t)
 
     g_acc = grad.astype(acc_t)
     if diag is None:

@@ -78,6 +78,36 @@ def test_bf16_pairs_with_pallas_falls_back(rng):
                                np.asarray(out_plain), rtol=1e-6)
 
 
+@pytest.mark.parametrize("storage", [jnp.float32, jnp.bfloat16])
+def test_direction_streamed_matches_collapsed_xla(rng, storage):
+    """The two-pass streamed direction kernel == the collapsed XLA form,
+    for f32 and bf16 pair storage (bf16: exact-f32 gradient, pairs rounded
+    at storage — tighter than the XLA bf16 path, which also rounds g)."""
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.pallas.two_loop_kernel import direction_streamed
+
+    n, m = 900, 4
+    mem = BFGSMemory.create(m, n, jnp.float32, storage_dtype=storage)
+    for _ in range(6):
+        s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = s + 0.3 * jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        mem = mem.replace(s_pending=s)
+        mem, _ = commit_pair(mem, y, 1e-8, 0.0, direction_cache=True)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    c = mem.c0 + mem.gamma * mem.cg
+    got = direction_streamed(mem.s, mem.y, g, c, mem.gamma, tile_n=256,
+                             interpret=True)
+    # reference: same math in plain XLA on the SAME stored (possibly
+    # rounded) pairs with f32 accumulation
+    w = jnp.concatenate([mem.s, mem.y], axis=0).astype(jnp.float32)
+    u = jnp.asarray(c, jnp.float32) @ (w @ g)
+    ref = mem.gamma * g + u @ w
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-5, atol=1e-4)
+
+
 def test_direction_kernel_matches_collapsed_xla(rng):
     """The one-HBM-pass direction kernel == the collapsed XLA form
     d = gamma*g + W^T((c0 + gamma*cg)(W g)) on a real commit cache."""
