@@ -59,13 +59,13 @@ def main():
     }
     for name, tr in variants.items():
         state = tr.init(x0)
-        ep = jax.jit(tr.epoch)
+        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
         eta = jnp.float32(1e-2 if "adaQN" not in name else 1e-1)
-        state, _ = ep(state, (X, Y), eta)
+        state, _ = ep(state, (X, Y), eta, aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         t0 = time.perf_counter()
         for _ in range(5):
-            state, _ = ep(state, (X, Y), eta)
+            state, _ = ep(state, (X, Y), eta, aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         dt = (time.perf_counter() - t0) / 5
         ok = bool(jnp.all(jnp.isfinite(state.x)))

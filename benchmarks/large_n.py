@@ -44,12 +44,12 @@ def main():
                                use_grad_diff=True, pairs_bf16=bf16)
         tr = FusedTrainer("SQN", cfg, grad_fn)
         state = tr.init(x0)
-        ep = jax.jit(tr.epoch)
-        state, _ = ep(state, targets, jnp.float32(1e-2))
+        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
+        state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         t0 = time.perf_counter()
         for _ in range(3):
-            state, _ = ep(state, targets, jnp.float32(1e-2))
+            state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         dt = (time.perf_counter() - t0) / 3
         pair_mb = 2 * MEM * N * (2 if bf16 else 4) / 1e6
@@ -58,5 +58,49 @@ def main():
               f"({B / dt:6.0f} iters/s; pair memory {pair_mb:.0f} MB)")
 
 
+def main_adaqn():
+    """adaQN at 16M params: exercises the per-step diagonal-H0 projection
+    (auto-enabled Pallas kernel at n >= 12M on TPU — ops/two_loop.py) and
+    bf16 Fisher storage.  Fisher memory kept small (the [k, n] buffer is
+    k * 64 MB at f32)."""
+    from stochqn_tpu.core.config import AdaQNConfig
+
+    rng = np.random.default_rng(0)
+    diag = jnp.asarray(rng.uniform(0.5, 2.0, N), jnp.float32)
+    targets = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+
+    def grad_fn(x, batch):
+        t = jnp.mean(batch)
+        return diag * (x - t)
+
+    # (pairs_bf16, fisher_bf16, use_pallas): f32 with the auto-enabled
+    # kernel (n=16M >= the 12M crossover), f32 forced-XLA, and full bf16
+    # storage (the kernel is f32-only, so bf16 rides the storage-aware
+    # XLA matmuls)
+    for bf16, fisher_bf16, pallas in ((False, False, None),
+                                      (False, False, False),
+                                      (True, True, None)):
+        cfg = AdaQNConfig.create(
+            mem_size=MEM, bfgs_upd_freq=L, fisher_size=8, max_incr=None,
+            pairs_bf16=bf16, fisher_bf16=fisher_bf16, use_pallas=pallas)
+        tr = FusedTrainer("adaQN", cfg, grad_fn)
+        state = tr.init(x0)
+        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
+        state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
+        float(jnp.sum(state.x))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
+        float(jnp.sum(state.x))
+        dt = (time.perf_counter() - t0) / 3
+        tag = (f"adaqn pairs_{'bf16' if bf16 else 'f32 '} "
+               f"pallas={'auto' if pallas is None else pallas}")
+        print(f"{tag}: {dt / B * 1e6:8.1f} us/iter  ({B / dt:6.0f} iters/s)")
+
+
 if __name__ == "__main__":
-    main()
+    if "--adaqn-only" not in sys.argv:
+        main()
+    if "--sqn-only" not in sys.argv:
+        main_adaqn()

@@ -75,12 +75,13 @@ def run(n_devices: int) -> float:
     state = shard_state(state, mesh)
     data = shard_batches((X, Y), mesh)
 
-    epoch = jax.jit(trainer.epoch)
-    state, _ = epoch(state, data, jnp.float32(1e-2))      # warmup/compile
+    epoch = jax.jit(trainer.epoch, static_argnames=("aligned",))
+    state, _ = epoch(state, data, jnp.float32(1e-2),      # warmup/compile
+                     aligned=True)
     float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     t0 = time.perf_counter()
     for _ in range(EPOCHS):
-        state, _ = epoch(state, data, jnp.float32(1e-2))
+        state, _ = epoch(state, data, jnp.float32(1e-2), aligned=True)
     float(jnp.sum(state.x))  # D2H barrier (see bench.py)
     return EPOCHS * NUM_BATCHES / (time.perf_counter() - t0)
 

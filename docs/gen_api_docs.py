@@ -100,9 +100,13 @@ def render_module(out, name):
                 out.write(_doc(mo, ""))
             out.write("\n")
     for n, o in members:
-        if inspect.isfunction(o):
-            out.write(f"### `{n}{_sig(o)}`\n\n")
-            out.write(_doc(o) + "\n")
+        # jit-wrapped functions (e.g. the Pallas kernel entry points) are
+        # PjitFunction objects, not plain functions — unwrap for the check
+        # and the signature/docstring
+        target = inspect.unwrap(getattr(o, "__wrapped__", o))
+        if inspect.isfunction(target):
+            out.write(f"### `{n}{_sig(target)}`\n\n")
+            out.write(_doc(target) + "\n")
 
 
 def generate() -> str:

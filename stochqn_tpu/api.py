@@ -87,6 +87,10 @@ def minimize(loss_fn: Callable, x0, data, *, optimizer: str = "adaQN",
     all_infos = []
     epochs_run = 0
     losses = []
+    # one D2H read; niter advances by num_batches per epoch (tracked
+    # host-side so epoch dispatch is not serialized by a per-epoch sync)
+    niter = int(state.niter)
+    num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
     for epoch in range(nepochs):
         eta = (step_size if decr_step_size is None
                else decr_step_size(step_size, epoch))
@@ -96,7 +100,8 @@ def minimize(loss_fn: Callable, x0, data, *, optimizer: str = "adaQN",
             shuffle_key, sub = jax.random.split(shuffle_key)
             d = shuffle_batched(data, sub)
         state, infos = epoch_fn(state, d, eta,
-                                aligned=int(state.niter) % upd_freq == 0)
+                                aligned=niter % upd_freq == 0)
+        niter += num_batches
         all_infos.append(infos)
         epochs_run += 1
         if tol is not None:

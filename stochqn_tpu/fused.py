@@ -495,6 +495,15 @@ class FusedTrainer:
                 jax.jit(self.epoch, static_argnames=("aligned",)))
         epoch_fn = self._epoch_jit
         L = getattr(self.cfg, "upd_freq", 1)
+        num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
+        # Resolve the chunked-layout alignment contract statically — a
+        # state resumed mid-round (e.g. after a non-divisible epoch) routes
+        # to the generic layout instead of silently misplacing boundaries.
+        # One D2H read before the loop; niter then advances by exactly
+        # num_batches per epoch, so subsequent epochs are tracked host-side
+        # (reading state.niter every epoch would force a device sync per
+        # dispatch and serialize the epoch pipeline).
+        niter = int(state.niter)
         infos = []
         for epoch in range(nepochs):
             eta = (step_size if decr_step_size is None
@@ -503,12 +512,8 @@ class FusedTrainer:
             if shuffle_key is not None:
                 shuffle_key, sub = jax.random.split(shuffle_key)
                 d = shuffle_batched(data, sub)
-            # state is concrete here, so resolve the chunked-layout
-            # alignment contract statically — a state resumed mid-round
-            # (e.g. after a non-divisible epoch) routes to the generic
-            # layout instead of silently misplacing boundaries.
-            aligned = int(state.niter) % L == 0
-            state, info = epoch_fn(state, d, eta, aligned=aligned)
+            state, info = epoch_fn(state, d, eta, aligned=niter % L == 0)
+            niter += num_batches
             infos.append(info)
         return state, jnp.stack(infos)
 

@@ -39,9 +39,24 @@ def _densify(X):
 
 
 def _padded(X, dtype):
-    """Host CSR -> padded-COO jnp arrays (see models/sparse.py)."""
+    """Host CSR -> padded-COO jnp arrays (see models/sparse.py).
+
+    Memoized on the matrix object: one protocol boundary presents the same
+    stored big batch to the gradient, function-value, and Hessian-vector
+    evaluators back to back, and the conversion is a host-side Python loop
+    over rows — converting once per batch object instead of once per call.
+    """
+    key = np.dtype(dtype).str
+    cached = getattr(X, "_stochqn_padded", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     idx, val = sparse_losses.csr_to_padded(X, dtype=np.dtype(dtype))
-    return jnp.asarray(idx), jnp.asarray(val)
+    out = (jnp.asarray(idx), jnp.asarray(val))
+    try:
+        X._stochqn_padded = (key, out)
+    except AttributeError:  # immutable container; just skip the memo
+        pass
+    return out
 
 
 class StochasticLogisticRegression:
@@ -371,6 +386,8 @@ class StochasticLogisticRegression:
                 lambda x: loss_core(x, *feats_val, Y_val, W_val, reg))
             history = LossHistory(tol)
         key = _jax.random.PRNGKey(self.random_state)
+        niter = int(state.niter)  # tracked host-side (see fused.py)
+        num_batches = _jax.tree_util.tree_leaves(data)[0].shape[0]
         for epoch in range(int(nepochs)):
             eta = step_size if decr is None else decr(step_size, epoch)
             d = data
@@ -378,7 +395,8 @@ class StochasticLogisticRegression:
                 key, sub = _jax.random.split(key)
                 d = shuffle_batched(data, sub)
             state, _ = epoch_fn(state, d, jnp.asarray(eta, dtype),
-                                aligned=int(state.niter) % upd_freq == 0)
+                                aligned=niter % upd_freq == 0)
+            niter += num_batches
             if has_val:
                 lv = float(val_loss(state.x))
                 if verbose:

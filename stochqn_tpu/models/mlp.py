@@ -120,6 +120,8 @@ class MLPClassifier:
         epoch_fn = jax.jit(self._trainer.epoch,
                            static_argnames=("aligned",))
         upd_freq = getattr(self._trainer.cfg, "upd_freq", 1)
+        niter = int(self._state.niter)  # tracked host-side (see fused.py)
+        num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
         for epoch in range(self.nepochs):
             d = data
             if self.shuffle:
@@ -127,7 +129,8 @@ class MLPClassifier:
                 d = shuffle_batched(data, sk)
             self._state, _ = epoch_fn(
                 self._state, d, self.step_size,
-                aligned=int(self._state.niter) % upd_freq == 0)
+                aligned=niter % upd_freq == 0)
+            niter += num_batches
         return self
 
     @property

@@ -304,8 +304,11 @@ def two_loop_cached(
         # 16M on v5e — benchmarks/kernels_bench.py, BENCH_NOTES.md); below
         # that, XLA's own fusion (and its VMEM placement of the hoisted
         # concat at n <~ 1.2M) wins.
+        # positive TPU test: the axon plugin's devices report platform
+        # "tpu"; keying on "not cpu/gpu" would emit the Mosaic TPU kernel
+        # on any unknown platform
         use_pallas = (n >= 12_000_000
-                      and jax.devices()[0].platform not in ("cpu", "gpu"))
+                      and jax.devices()[0].platform == "tpu")
     pallas_ok = (use_pallas and dtype == jnp.float32
                  and s_mem.dtype == jnp.float32)
     if pallas_ok and diag is not None:

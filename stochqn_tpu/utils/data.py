@@ -39,16 +39,10 @@ def parse_extreme_classification(path, n_features=None, n_labels=None):
     rows, cols, vals = [], [], []
     label_rows, label_cols = [], []
     with open(path, "rt") as f:
-        header = f.readline().split()
-        if len(header) == 3 and n_features is None:
-            n_features = int(header[1])
-        if len(header) == 3 and n_labels is None:
-            n_labels = int(header[2])
         i = 0
-        for line in f:
-            parts = line.split()
-            if not parts:
-                continue
+
+        def consume(parts):
+            nonlocal i
             start = 0
             if ":" not in parts[0]:
                 for lab in parts[0].split(","):
@@ -62,6 +56,25 @@ def parse_extreme_classification(path, n_features=None, n_labels=None):
                 cols.append(int(k))
                 vals.append(float(v))
             i += 1
+
+        # header = exactly three integer tokens; anything else on line 1
+        # is data (a headerless file must not silently lose sample 0)
+        first = f.readline().split()
+        is_header = (len(first) == 3
+                     and all(t.lstrip("-").isdigit() for t in first)
+                     and ":" not in " ".join(first))
+        if is_header:
+            if n_features is None:
+                n_features = int(first[1])
+            if n_labels is None:
+                n_labels = int(first[2])
+        elif first:
+            consume(first)
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            consume(parts)
     if n_features is None:
         n_features = max(cols) + 1 if cols else 0
     if n_labels is None:

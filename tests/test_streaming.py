@@ -101,3 +101,16 @@ def test_parse_extreme_classification(tmp_path):
     np.testing.assert_array_equal(X.toarray(), dense)
     np.testing.assert_array_equal(
         Y, [[1, 0, 1], [0, 0, 0], [0, 1, 0], [1, 1, 1]])
+
+
+def test_parse_extreme_classification_headerless(tmp_path):
+    """A file without the ``n d L`` header line must not lose sample 0."""
+    from stochqn_tpu.utils.data import parse_extreme_classification
+    p = tmp_path / "toy_noheader.txt"
+    p.write_text(
+        "0,2 1:0.5 4:1\n"      # would be swallowed by a blind header read
+        "1 0:1 2:3\n")
+    X, Y = parse_extreme_classification(p)
+    assert X.shape[0] == 2
+    assert X[0, 1] == 0.5 and X[0, 4] == 1.0
+    np.testing.assert_array_equal(Y, [[1, 0, 1], [0, 1, 0]])
