@@ -158,18 +158,26 @@ def main():
     med = statistics.median(reps)
     spread_pct = 100.0 * (max(reps) - min(reps)) / med
 
-    vs_baseline = 1.0
+    # like-for-like: this bench runs float32, so compare against the
+    # reference's own float32 (-DUSE_FLOAT) build.  Preferred source is a
+    # fresh local measurement (benchmarks/reference_baseline.py writes
+    # BASELINE_MEASURED.json, gitignored); when absent, fall back to the
+    # BEST reference measurement recorded on this machine (92.1 f32
+    # iters/s; observed host-load spread 61.9-92.1 — BENCH_NOTES.md)
+    # rather than reporting a meaningless 1.0.
+    ref_ips = 92.1
+    baseline_source = "recorded best (BENCH_NOTES.md)"
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BASELINE_MEASURED.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             ref = json.load(f)
-        # like-for-like: this bench runs float32, so compare against the
-        # reference's own float32 (-DUSE_FLOAT) build when measured
-        ref_ips = (ref.get("reference_sqn_bibtex_iters_per_s_f32")
-                   or ref.get("reference_sqn_bibtex_iters_per_s"))
-        if ref_ips:
-            vs_baseline = med / ref_ips
+        measured = (ref.get("reference_sqn_bibtex_iters_per_s_f32")
+                    or ref.get("reference_sqn_bibtex_iters_per_s"))
+        if measured:
+            ref_ips = measured
+            baseline_source = "measured (BASELINE_MEASURED.json)"
+    vs_baseline = med / ref_ips
 
     flops_per_iter, bytes_per_iter = model_costs()
     kind = jax.devices()[0].device_kind
@@ -191,6 +199,8 @@ def main():
         "hbm_util_pct": round(hbm_util_pct, 1),
         "flops_per_iter": int(flops_per_iter),
         "hbm_bytes_per_iter": int(bytes_per_iter),
+        "baseline_iters_per_s_f32": round(ref_ips, 1),
+        "baseline_source": baseline_source,
     }))
 
 
