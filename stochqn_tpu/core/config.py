@@ -122,9 +122,10 @@ class AdaQNConfig:
     pairs_bf16: bool = False     # see OLBFGSConfig.pairs_bf16
     fisher_bf16: bool = False    # bfloat16 Fisher gradient store (f32 math)
     # Pallas fused projection kernel for the per-step diagonal-H0 two-loop
-    # (single pass computing W g, (Y*D) g, (Y*D) Y^T).  None = auto: enabled
-    # on TPU once the pair memory is far past VMEM (n >= 12M, the measured
-    # crossover — BENCH_NOTES.md); True/False force it.
+    # (single pass computing W g, (Y*D) g, (Y*D) Y^T).  None = auto,
+    # currently OFF at every size: the matvec coupling form in
+    # ops/two_loop.two_loop_cached beats the kernel even at n=16M
+    # (BENCH_NOTES.md).  True forces the kernel on for comparison.
     use_pallas: bool | None = None
 
     @classmethod

@@ -299,16 +299,14 @@ def two_loop_cached(
 
     ydg_st = ydy_st = None
     if use_pallas is None:
-        # auto: the fused projection kernel beats XLA only once the pair
-        # memory is far past VMEM (measured crossover between n = 4M and
-        # 16M on v5e — benchmarks/kernels_bench.py, BENCH_NOTES.md); below
-        # that, XLA's own fusion (and its VMEM placement of the hoisted
-        # concat at n <~ 1.2M) wins.
-        # positive TPU test: the axon plugin's devices report platform
-        # "tpu"; keying on "not cpu/gpu" would emit the Mosaic TPU kernel
-        # on any unknown platform
-        use_pallas = (n >= 12_000_000
-                      and jax.devices()[0].platform == "tpu")
+        # auto: OFF.  The kernel's one-pass fusion beat the *old* XLA
+        # formulation past n ~ 12M, but the matvec form below
+        # (``Y @ (D (g - Y^T alpha))`` — no ``Y*D`` intermediate, no
+        # weighted Gram) beats the kernel at every measured size
+        # (16M: 12.7 vs 14.3 ms/iter engine-level — BENCH_NOTES.md), so
+        # the auto default no longer enables it.  ``use_pallas=True``
+        # still forces the kernel (which then uses the ydg/ydy coupling).
+        use_pallas = False
     pallas_ok = (use_pallas and dtype == jnp.float32
                  and s_mem.dtype == jnp.float32)
     if pallas_ok and diag is not None:
@@ -327,6 +325,8 @@ def two_loop_cached(
                        preferred_element_type=acc_t,
                     precision=PRECISION)
 
+    g_acc = grad.astype(acc_t)
+    u2 = None
     if diag is None:
         if h0 > 0:
             gamma = jnp.asarray(h0, acc_t)
@@ -336,15 +336,23 @@ def two_loop_cached(
         y_r0 = gamma * (yg - jnp.matmul(mem.yy_c, alpha,
                                         preferred_element_type=acc_t,
                     precision=PRECISION))
-    else:
-        if ydg_st is None:
-            yd = y_mem.astype(acc_t) * diag[None, :].astype(acc_t)
-            ydg_st = _mem_mm(yd, grad, acc_t)
-            ydy_st = _mem_mm(yd, y_mem.T, acc_t)
+    elif ydg_st is not None:
+        # Pallas projection kernel supplied (Y*D)g and (Y*D)Y^T directly.
         ydg = ydg_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
         y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,
                     precision=PRECISION)
+    else:
+        # Matvec form of the diagonal-H0 coupling:
+        #   YD g - YD Y^T alpha = Y @ (D * (g - Y^T alpha))
+        # — no [m, n] ``Y*D`` intermediate and no [m, m] weighted Gram per
+        # step; ``Y^T alpha`` is reused as the expansion's alpha term and
+        # ``D*(g - Y^T alpha)`` as the direction's diagonal term below.
+        diag_acc = diag.astype(acc_t)
+        alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
+        st_alpha_y = _mem_mm(alpha_st, y_mem, acc_t)          # [n]
+        u2 = diag_acc * (g_acc - st_alpha_y)                  # [n]
+        y_r0 = _mem_mm(y_mem, u2, acc_t)[perm]                # [m]
 
     rhs = mem.rho * y_r0 + jnp.matmul(mem.rl_c, alpha,
                                       preferred_element_type=acc_t,
@@ -353,16 +361,19 @@ def two_loop_cached(
                     precision=PRECISION)
 
     coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
-    alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
-
-    st_alpha_y = _mem_mm(alpha_st, y_mem, acc_t)
     st_coeff_s = _mem_mm(coeff_s, s_mem, acc_t)
 
-    g_acc = grad.astype(acc_t)
     if diag is None:
+        alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
+        st_alpha_y = _mem_mm(alpha_st, y_mem, acc_t)
         d = gamma * (g_acc - st_alpha_y) + st_coeff_s
         empty = g_acc
+    elif u2 is not None:
+        d = u2 + st_coeff_s          # u2 == D * (g - Y^T alpha)
+        empty = diag.astype(acc_t) * g_acc
     else:
+        alpha_st = jnp.zeros((m,), acc_t).at[perm].set(alpha)
+        st_alpha_y = _mem_mm(alpha_st, y_mem, acc_t)
         d = diag.astype(acc_t) * (g_acc - st_alpha_y) + st_coeff_s
         empty = diag.astype(acc_t) * g_acc
     return jnp.where(has_pairs, d, empty).astype(dtype)
