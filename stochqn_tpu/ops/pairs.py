@@ -154,15 +154,16 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     # (I + N)^{-1} for strictly-triangular (nilpotent) N via Horner-Neumann:
     # X <- I - N X, exact after m-1 steps.  Unrolled small matmuls beat
     # XLA's sequential triangular-solve loop inside a scan (op count).
-    bwd_inv = eye
-    fwd_inv = eye
+    # Both systems ride ONE batched chain: sequential op count is what
+    # commits cost (oLBFGS commits every iteration), and a [2, m, m]
+    # matmul is the same latency as an [m, m] one.
+    n_stack = jnp.stack([ru, rl])                       # [2, m, m]
+    inv = jnp.broadcast_to(eye, (2, m, m))
     for _ in range(m - 1):
-        bwd_inv = eye - jnp.matmul(ru, bwd_inv,
-                                   preferred_element_type=acc_t,
-                                   precision=PRECISION)
-        fwd_inv = eye - jnp.matmul(rl, fwd_inv,
-                                   preferred_element_type=acc_t,
-                                   precision=PRECISION)
+        inv = eye - jnp.matmul(n_stack, inv,
+                               preferred_element_type=acc_t,
+                               precision=PRECISION)
+    bwd_inv, fwd_inv = inv[0], inv[1]
 
     has_pairs = count > 0
     last = jnp.maximum(count - 1, 0)
