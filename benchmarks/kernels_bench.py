@@ -186,6 +186,19 @@ def bench(n, include_pallas, include_concat):
         wg, ydg, ydy = tlk.project_adaqn(o["s"], o["y"], o["diag"], g)
         return g + 1e-6 * (jnp.sum(wg) + jnp.sum(ydg) + jnp.sum(ydy))
 
+    def adaqn_mv(g, o):
+        # matvec coupling form as production two_loop_cached runs it:
+        # wg = W g; t = Y^T alpha; u2 = D (g - t); y_r0 = Y u2;
+        # d = u2 + S^T coeff — 5m row-passes, no [m, n] intermediate
+        w = jnp.concatenate([o["s"], o["y"]], axis=0)
+        wg = mm(w, g)
+        a = 1e-3 * wg[M:]
+        t = mm(a, o["y"])
+        u2 = o["diag"] * (g - t)
+        yr0 = mm(o["y"], u2)
+        coeff = a - 1e-3 * yr0
+        return u2 + mm(coeff, o["s"])
+
     variants = [("xla/fast", xla_fast, 4), ("xla/split", xla_split, 4),
                 ("bf16/split", bf16_split, 2),
                 ("pallas/stream", pallas_stream, 4),
@@ -198,9 +211,13 @@ def bench(n, include_pallas, include_concat):
 
     # adaQN projection comparison (one W pass + yd products); the adaQN
     # kernel streams tiles without scratch — no size gate.
-    adaqn = [("adaqn/xla", adaqn_xla), ("adaqn/pallas", adaqn_pallas)]
+    adaqn = [("adaqn/xla", adaqn_xla), ("adaqn/pallas", adaqn_pallas),
+             ("adaqn/mv", adaqn_mv)]
 
     def ideal_bytes(name):
+        if name == "adaqn/mv":
+            # whole direction: 5m row-passes + g read + d write
+            return 5 * M * n * 4 + 2 * n * 4
         if name.startswith("adaqn"):
             # one W pass + one y pass (yd never materialized) + g read
             return 2 * M * n * 4 + 2 * M * n * 4 + n * 4
