@@ -15,6 +15,13 @@ import dataclasses
 from typing import Optional
 
 
+def _check_coupling(value: str) -> str:
+    if value not in ("matvec", "gram"):
+        raise ValueError(f"'coupling' must be 'matvec' or 'gram', "
+                         f"got {value!r}")
+    return value
+
+
 def _norm(value: Optional[float], name: str, positive: bool = True) -> float:
     """Reference semantics: ``None`` means "feature off" and maps to 0."""
     if value is None:
@@ -127,6 +134,10 @@ class AdaQNConfig:
     # ops/two_loop.two_loop_cached beats the kernel even at n=16M
     # (BENCH_NOTES.md).  True forces the kernel on for comparison.
     use_pallas: bool | None = None
+    # Diagonal-H0 coupling formulation (see ops/two_loop.two_loop_cached):
+    # "matvec" (default) is fastest on a chip; "gram" keeps the per-step
+    # psum count at one under a param-sharded n axis.
+    coupling: str = "matvec"
 
     @classmethod
     def create(cls, mem_size=10, fisher_size=100, bfgs_upd_freq=20,
@@ -134,7 +145,7 @@ class AdaQNConfig:
                rmsprop_weight=None, y_reg=None, use_grad_diff=False,
                check_nan=True, h0_exact_reference=True,
                pairs_bf16=False, fisher_bf16=False,
-               use_pallas=None) -> "AdaQNConfig":
+               use_pallas=None, coupling="matvec") -> "AdaQNConfig":
         if mem_size <= 0 or bfgs_upd_freq <= 0:
             raise ValueError("'mem_size' and 'bfgs_upd_freq' must be positive")
         # Reference: fisher_size=None forces use_grad_diff
@@ -167,4 +178,5 @@ class AdaQNConfig:
             pairs_bf16=bool(pairs_bf16),
             fisher_bf16=bool(fisher_bf16),
             use_pallas=None if use_pallas is None else bool(use_pallas),
+            coupling=_check_coupling(coupling),
         )

@@ -197,7 +197,8 @@ def _adaqn_base(cfg: AdaQNConfig, grad_fn: GradFn, state: AdaQNState,
         h0_diag = jax.lax.rsqrt(acc_sq + jnp.asarray(cfg.scal_reg,
                                                      acc_sq.dtype))
     d_mem = two_loop_cached(g, state.mem, diag=h0_diag,
-                            use_pallas=cfg.use_pallas)
+                            use_pallas=cfg.use_pallas,
+                            coupling=cfg.coupling)
     d = jnp.where(state.mem.count > 0, d_mem, rescaled)
     bad = direction_is_bad(d) if cfg.check_nan else jnp.zeros((), bool)
 

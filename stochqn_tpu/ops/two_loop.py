@@ -247,6 +247,7 @@ def two_loop_cached(
     use_pallas: Optional[bool] = None,
     pallas_interpret: bool = False,
     collapsed: bool = False,
+    coupling: str = "matvec",
 ) -> jax.Array:
     """Two-loop using the commit-time small-math cache in ``BFGSMemory``.
 
@@ -263,7 +264,21 @@ def two_loop_cached(
     ``lax.scan`` on TPU, where tiny sequential ops, not FLOPs, set the
     pace.  This is the production path used by the state machines and the
     fused engine.
+
+    ``coupling`` selects the diagonal-H0 (adaQN) coupling formulation:
+
+      * ``"matvec"`` (default) — ``Y @ (D (g - Y^T alpha))``: pure
+        matvecs, no ``[m, n]`` intermediate, fastest on a single chip at
+        every measured size (BENCH_NOTES.md).
+      * ``"gram"`` — the ``(Y*D) g`` / ``(Y*D) Y^T`` products: more HBM
+        traffic, but every n-contraction is available simultaneously, so
+        a param-sharded ``n`` axis needs ONE fused psum per step where
+        the matvec form chains two dependent ones — prefer it when the
+        psum latency dominates (large meshes, small per-device n).
     """
+    if coupling not in ("matvec", "gram"):
+        raise ValueError(f"coupling must be 'matvec' or 'gram', "
+                         f"got {coupling!r}")
     s_mem, y_mem = mem.s, mem.y
     m, n = s_mem.shape
     dtype = grad.dtype
@@ -336,8 +351,14 @@ def two_loop_cached(
         y_r0 = gamma * (yg - jnp.matmul(mem.yy_c, alpha,
                                         preferred_element_type=acc_t,
                     precision=PRECISION))
-    elif ydg_st is not None:
-        # Pallas projection kernel supplied (Y*D)g and (Y*D)Y^T directly.
+    elif ydg_st is not None or coupling == "gram":
+        if ydg_st is None:
+            # gram coupling in XLA: both n-contractions are independent of
+            # alpha, so under a sharded n axis they ride one fused psum
+            yd = y_mem.astype(acc_t) * diag[None, :].astype(acc_t)
+            ydg_st = _mem_mm(yd, grad, acc_t)
+            ydy_st = _mem_mm(yd, y_mem.T, acc_t)
+        # (else: the Pallas projection kernel supplied them directly)
         ydg = ydg_st.astype(acc_t)[perm]
         ydy = ydy_st.astype(acc_t)[perm][:, perm]
         y_r0 = ydg - jnp.matmul(ydy, alpha, preferred_element_type=acc_t,

@@ -187,6 +187,11 @@ def test_cached_fast_path_matches_two_loop(rng):
         got = two_loop_cached(g, mem, diag=diag)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-12)
+        # the gram coupling (single fused psum under param sharding) must
+        # compute the same direction as the default matvec coupling
+        got_gram = two_loop_cached(g, mem, diag=diag, coupling="gram")
+        np.testing.assert_allclose(np.asarray(got_gram), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
 
 
 def test_cached_fast_path_empty_memory(rng):
