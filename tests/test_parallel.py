@@ -142,3 +142,38 @@ def test_param_sharded_two_loop_single_psum(rng):
     n_allreduce = hlo.count("all-reduce-start") or hlo.count("all-reduce(")
     # projection (Wg + Gram fused) should reduce in O(1) collectives
     assert n_allreduce <= 3, f"{n_allreduce} all-reduces in param-sharded two_loop"
+
+
+def test_param_sharded_adaqn_coupling_psum_counts(rng):
+    """The diag-H0 coupling trade-off (AdaQNConfig.coupling): the gram
+    form's n-contractions are independent, so they fuse into no more
+    all-reduces than the matvec form, whose projection -> alpha ->
+    coupling chain is sequential."""
+    from stochqn_tpu.core.state import BFGSMemory
+    from stochqn_tpu.ops.pairs import commit_pair
+    from stochqn_tpu.ops.two_loop import two_loop_cached
+
+    n, m = 512, 4
+    mesh = make_mesh(n_data=1, n_param=8)
+    mem = BFGSMemory.create(m, n, jnp.float32)
+    for _ in range(m):
+        s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        y = s + 0.3 * jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        mem = mem.replace(s_pending=s)
+        mem, _ = commit_pair(mem, y, 1e-8, 0.0)
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    diag = jnp.asarray(rng.uniform(0.5, 1.5, n).astype(np.float32))
+
+    mem_sh = shard_state(mem, mesh)
+    g_sh = jax.device_put(g, param_sharding(mesh, 1))
+    d_sh = jax.device_put(diag, param_sharding(mesh, 1))
+
+    counts = {}
+    for coupling in ("matvec", "gram"):
+        fn = jax.jit(lambda g, mm_, d: two_loop_cached(
+            g, mm_, diag=d, coupling=coupling))
+        hlo = fn.lower(g_sh, mem_sh, d_sh).compile().as_text()
+        counts[coupling] = (hlo.count("all-reduce-start")
+                            or hlo.count("all-reduce("))
+    # both stay O(1); gram must not need more collectives than matvec
+    assert counts["gram"] <= counts["matvec"] <= 4, counts
