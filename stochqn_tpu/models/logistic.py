@@ -38,19 +38,24 @@ def _densify(X):
     return np.asarray(X.todense()) if issparse(X) else np.asarray(X)
 
 
-def _padded(X, dtype):
+def _padded(X, dtype, max_nnz=None):
     """Host CSR -> padded-COO jnp arrays (see models/sparse.py).
 
     Memoized on the matrix object: one protocol boundary presents the same
     stored big batch to the gradient, function-value, and Hessian-vector
     evaluators back to back, and the conversion is a host-side Python loop
     over rows — converting once per batch object instead of once per call.
+
+    ``max_nnz`` pins the padded width ``k``; ``fit`` derives it from the
+    FULL matrix so every batch compiles to the same ``[B, k]`` shape
+    (otherwise each distinct per-batch max-nnz bucket is a recompile).
     """
-    key = np.dtype(dtype).str
+    key = (np.dtype(dtype).str, max_nnz)
     cached = getattr(X, "_stochqn_padded", None)
     if cached is not None and cached[0] == key:
         return cached[1]
-    idx, val = sparse_losses.csr_to_padded(X, dtype=np.dtype(dtype))
+    idx, val = sparse_losses.csr_to_padded(X, max_nnz=max_nnz,
+                                           dtype=np.dtype(dtype))
     out = (jnp.asarray(idx), jnp.asarray(val))
     try:
         X._stochqn_padded = (key, out)
@@ -99,6 +104,10 @@ class StochasticLogisticRegression:
         self._is_mult: Optional[bool] = None
         self.is_fitted = False
         self._x_fused: Optional[np.ndarray] = None
+        # padded-COO width pinned by fit() from the full matrix; None =
+        # derive per batch (partial_fit streaming, where no full matrix
+        # exists)
+        self._pad_k: Optional[int] = None
 
     # ------------------------------------------------------------------ #
     @property
@@ -179,7 +188,7 @@ class StochasticLogisticRegression:
         def obj_fun(x, X, y, sample_weight=None, reg_param=reg):
             x = jnp.asarray(x, dtype)
             if issparse(X):
-                idx, val = _padded(X, dtype)
+                idx, val = _padded(X, dtype, self._pad_k)
                 return float(sp_loss(x, idx, val, y, X.shape[1],
                                      sample_weight, reg_param))
             return float(loss_j(x, jnp.asarray(_densify(X), dtype), y,
@@ -188,7 +197,7 @@ class StochasticLogisticRegression:
         def grad_fun(x, X, y, sample_weight=None, reg_param=reg):
             x = jnp.asarray(x, dtype)
             if issparse(X):
-                idx, val = _padded(X, dtype)
+                idx, val = _padded(X, dtype, self._pad_k)
                 return np.asarray(sp_grad(x, idx, val, y, X.shape[1],
                                           sample_weight, reg_param))
             return np.asarray(grad_j(x, jnp.asarray(_densify(X), dtype), y,
@@ -198,7 +207,7 @@ class StochasticLogisticRegression:
             x = jnp.asarray(x, dtype)
             v = jnp.asarray(v, dtype)
             if issparse(X):
-                idx, val = _padded(X, dtype)
+                idx, val = _padded(X, dtype, self._pad_k)
                 return np.asarray(sp_hv(x, v, idx, val, y, X.shape[1],
                                         sample_weight, reg_param))
             return np.asarray(hv_j(x, v, jnp.asarray(_densify(X), dtype), y,
@@ -267,6 +276,13 @@ class StochasticLogisticRegression:
         typically orders of magnitude faster than the host-driven protocol
         engine on accelerators."""
         X, y, sample_weight = self._check_inputs(X, y, sample_weight)
+        if issparse(X):
+            # pin the padded width from the full matrix: every batch then
+            # compiles to the same [B, k] shape (one program, not one per
+            # distinct per-batch max-nnz bucket)
+            Xr = X.tocsr()
+            knz = int(np.diff(Xr.indptr).max()) if Xr.shape[0] else 1
+            self._pad_k = max(8, -(-knz // 8) * 8)
         if self.engine == "fused":
             return self._fit_fused(X, y, sample_weight)
         self._initialize_optimizer(X, y)

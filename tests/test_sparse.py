@@ -198,3 +198,34 @@ def test_logistic_model_sparse_fused(rng):
     assert acc > 0.85, acc
     proba = clf.predict_proba(X[:5])
     assert proba.shape == (5, 2)
+
+
+def test_protocol_engine_sparse_pins_padded_width(rng):
+    """fit() derives the padded-COO width k from the FULL matrix so every
+    batch compiles to the same [B, k] shape, and the conversion result is
+    memoized on the batch object."""
+    from stochqn_tpu.models.logistic import (StochasticLogisticRegression,
+                                             _padded)
+
+    nf, n = 64, 120
+    X = _random_csr(rng, n, nf, density=0.1)
+    w_true = rng.standard_normal(nf)
+    y = (X @ w_true > 0).astype(np.float64)
+
+    clf = StochasticLogisticRegression(
+        reg_param=1e-4, optimizer="SQN", step_size=0.5, valset_frac=None,
+        nepochs=2, batches_per_epoch=4, engine="protocol", random_state=0,
+        use_grad_diff=True)
+    clf.fit(X, y)
+    max_nnz = int(np.diff(X.tocsr().indptr).max())
+    assert clf._pad_k is not None and clf._pad_k >= max_nnz
+    assert clf._pad_k % 8 == 0
+    # pinned width: batches of different sparsity give the same k
+    idx_a, _ = _padded(X[:10].tocsr(), np.float64, clf._pad_k)
+    idx_b, _ = _padded(X[10:13].tocsr(), np.float64, clf._pad_k)
+    assert idx_a.shape[1] == idx_b.shape[1] == clf._pad_k
+    # memoization: same object + same (dtype, k) returns the cached arrays
+    Xb = X[:10].tocsr()
+    first = _padded(Xb, np.float64, clf._pad_k)
+    second = _padded(Xb, np.float64, clf._pad_k)
+    assert first[0] is second[0] and first[1] is second[1]
