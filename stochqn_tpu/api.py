@@ -79,9 +79,8 @@ def minimize(loss_fn: Callable, x0, data, *, optimizer: str = "adaQN",
     upd_freq = getattr(trainer.cfg, "upd_freq", 1)
 
     def full_loss(st):
-        flat = jax.tree_util.tree_map(
-            lambda a: a.reshape((-1,) + a.shape[2:]), data)
-        return float(flat_loss(st.x, flat))
+        from stochqn_tpu.fused import _flat
+        return float(flat_loss(st.x, _flat(data)))
 
     history = LossHistory(tol if tol is not None else float("inf"))
     all_infos = []

@@ -354,6 +354,11 @@ class FusedTrainer:
             assert isinstance(self.cfg, SQNConfig)
         elif kind == "adaQN":
             assert isinstance(self.cfg, AdaQNConfig)
+            if self.cfg.max_incr > 0 and self.obj_fn is None:
+                raise ValueError(
+                    "adaQN with max_incr needs an objective function "
+                    "(pass obj_fn=..., or max_incr=None to disable the "
+                    "function-value guard)")
         else:
             raise ValueError(f"unknown optimizer {kind!r}")
 

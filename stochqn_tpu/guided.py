@@ -135,6 +135,7 @@ class _GuidedBase:
     # -- stored-batch container (partial_fit big batches) ---------------- #
     def _reset_saved_batch(self):
         self._stored_X, self._stored_y, self._stored_w = [], [], []
+        self._last_big = None
 
     def _save_batch(self, X, y, w):
         self._stored_X.append(X)
@@ -155,6 +156,15 @@ class _GuidedBase:
 
     def _pop_stored_batch(self):
         if not self._stored_X:
+            # One protocol boundary can issue TWO big-batch requests back
+            # to back (adaQN with use_grad_diff + max_incr: the function-
+            # value guard then the gradient-difference y) — the second is
+            # served from the batch the first one assembled.  The
+            # reference crashes here (its container is reset by the first
+            # request); reference bugs are deliberately not reproduced
+            # (docs/protocol.md).
+            if self._last_big is not None:
+                return self._last_big
             raise ValueError("No stored batches available for a big-batch "
                              "request; this should not happen.")
         X = self._stack(self._stored_X)
@@ -169,6 +179,7 @@ class _GuidedBase:
                       for Xb, wb in zip(self._stored_X, self._stored_w)]
             w = self._stack(filled)
         self._reset_saved_batch()
+        self._last_big = (X, y, w)
         return X, y, w
 
     def _long_batch_from_epoch(self, X, y, w, batch):

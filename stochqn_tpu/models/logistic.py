@@ -49,7 +49,17 @@ def _padded(X, dtype, max_nnz=None):
     ``max_nnz`` pins the padded width ``k``; ``fit`` derives it from the
     FULL matrix so every batch compiles to the same ``[B, k]`` shape
     (otherwise each distinct per-batch max-nnz bucket is a recompile).
+    A pinned width never truncates: a batch denser than ``max_nnz`` (e.g.
+    partial_fit data after an earlier fit) falls back to its own width —
+    csr_to_padded would otherwise silently drop features.
     """
+    if max_nnz is not None:
+        Xr = X.tocsr() if hasattr(X, "tocsr") else X
+        indptr = getattr(Xr, "indptr", None)
+        if indptr is not None and len(indptr) > 1:
+            batch_max = int(np.diff(indptr).max())
+            if batch_max > max_nnz:
+                max_nnz = None          # exactness over shape stability
     key = (np.dtype(dtype).str, max_nnz)
     cached = getattr(X, "_stochqn_padded", None)
     if cached is not None and cached[0] == key:

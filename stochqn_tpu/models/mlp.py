@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig, SQNConfig
-from stochqn_tpu.fused import batchify, shuffle_batched
+from stochqn_tpu.fused import batchify
 from stochqn_tpu.optax_adapter import PytreeTrainer
 
 
@@ -117,20 +117,9 @@ class MLPClassifier:
 
         bs = min(self.batch_size, X.shape[0])
         data = batchify((X, Y), bs)
-        epoch_fn = jax.jit(self._trainer.epoch,
-                           static_argnames=("aligned",))
-        upd_freq = getattr(self._trainer.cfg, "upd_freq", 1)
-        niter = int(self._state.niter)  # tracked host-side (see fused.py)
-        num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
-        for epoch in range(self.nepochs):
-            d = data
-            if self.shuffle:
-                key, sk = jax.random.split(key)
-                d = shuffle_batched(data, sk)
-            self._state, _ = epoch_fn(
-                self._state, d, self.step_size,
-                aligned=niter % upd_freq == 0)
-            niter += num_batches
+        self._state, _ = self._trainer.run_epochs(
+            self._state, data, self.nepochs, self.step_size,
+            shuffle_key=key if self.shuffle else None)
         return self
 
     @property

@@ -96,9 +96,8 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     # recomputes the existing entries bit-identically.
     gram_t = mem.gram.dtype
     w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
-    p = jnp.matmul(w_new, jnp.stack([row_s, row_y], axis=1),
-                   preferred_element_type=gram_t,
-                   precision=PRECISION)                      # [2m, 2]
+    p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
+                gram_t)                                      # [2m, 2]
     gram = mem.gram
     gram = jax.lax.dynamic_update_index_in_dim(
         gram, p[:, 0].astype(gram_t), mem.head, axis=1)

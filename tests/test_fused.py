@@ -186,6 +186,17 @@ def test_fused_config_sweep_matches_protocol(rng, kind, kw):
     np.testing.assert_allclose(x_fused, x_proto, rtol=RTOL, atol=ATOL)
 
 
+def test_fused_adaqn_requires_obj_fn_at_construction(rng):
+    """adaQN with the max_incr guard but no obj_fn must fail loudly at
+    FusedTrainer construction — not with an opaque TypeError deep inside
+    whichever of the three epoch layouts runs first."""
+    grad_fn = lambda x, b: x
+    with pytest.raises(ValueError, match="objective function"):
+        FusedTrainer("adaQN", AdaQNConfig.create(max_incr=1.01), grad_fn)
+    # disabling the guard makes obj_fn genuinely optional
+    FusedTrainer("adaQN", AdaQNConfig.create(max_incr=None), grad_fn)
+
+
 def test_fused_adaqn_func_increase_matches_protocol(rng):
     """An objective that spikes once training crosses a threshold triggers
     adaQN's func_increased revert identically in fused and protocol modes."""

@@ -75,6 +75,26 @@ def test_partial_fit_stream(rng):
     assert opt.niter == 6 * 10
 
 
+def test_partial_fit_adaqn_guard_plus_grad_diff(rng):
+    """adaQN with use_grad_diff AND max_incr issues two big-batch requests
+    at one protocol boundary (function-value guard, then the gradient-
+    difference y); the stored-batch container must serve both from the
+    same assembled batch.  The reference crashes here (its container is
+    reset by the first request) — a reference bug deliberately not
+    reproduced."""
+    X, y, _ = _linreg_problem(rng)
+    obj, grad, _, _ = _lsq_funs()
+    opt = adaQN(np.zeros(X.shape[1]), grad, obj_fun=obj,
+                use_grad_diff=True, max_incr=1.01, bfgs_upd_freq=4,
+                step_size=0.05, decr_step_size=None, verbose=False)
+    loss0 = obj(opt.x, X, y)
+    for epoch in range(4):
+        for i in range(0, 400, 40):
+            opt.partial_fit(X[i:i + 40], y[i:i + 40])   # crossed boundaries
+    assert opt.niter == 4 * 10
+    assert obj(opt.x, X, y) < loss0
+
+
 def test_valset_early_stopping(rng):
     X, y, _ = _linreg_problem(rng, n_samples=500)
     obj, grad, hessvec, _ = _lsq_funs()

@@ -229,3 +229,19 @@ def test_protocol_engine_sparse_pins_padded_width(rng):
     first = _padded(Xb, np.float64, clf._pad_k)
     second = _padded(Xb, np.float64, clf._pad_k)
     assert first[0] is second[0] and first[1] is second[1]
+
+
+def test_padded_pinned_width_never_truncates(rng):
+    """A batch denser than the pinned width (e.g. partial_fit data after an
+    earlier fit) must widen, not silently drop features."""
+    from scipy import sparse as sp
+    from stochqn_tpu.models.logistic import _padded
+
+    dense = np.zeros((4, 32))
+    dense[0, :20] = 1.0          # 20 nnz in one row
+    Xb = sp.csr_matrix(dense)
+    idx, val = _padded(Xb, np.float64, 8)   # pinned width smaller than 20
+    assert idx.shape[1] >= 20
+    # all 20 features survive
+    row_nnz = int((np.asarray(val)[0] != 0).sum())
+    assert row_nnz == 20
