@@ -69,24 +69,26 @@ constexpr std::size_t kParallelThreshold = 1u << 19;
 
 template <class Real>
 inline Real dot(const Real* a, const Real* b, std::size_t n) {
+  // Accumulate in double on EVERY path: float32 trajectories must not
+  // depend on build flags (OpenMP on/off) or on crossing the threading
+  // threshold — only the deterministic static partition of the
+  // reduction differs with the thread count.
+  double acc = 0.0;
 #ifdef _OPENMP
   if (n >= kParallelThreshold) {
-    double acc = 0.0;
 #pragma omp parallel for simd reduction(+ : acc) schedule(static)
     for (long long i = 0; i < static_cast<long long>(n); ++i)
       acc += static_cast<double>(a[i]) * static_cast<double>(b[i]);
     return static_cast<Real>(acc);
   }
-  {
-    Real s = 0;
-#pragma omp simd reduction(+ : s)
-    for (std::size_t i = 0; i < n; ++i) s += a[i] * b[i];
-    return s;
-  }
+#pragma omp simd reduction(+ : acc)
+  for (std::size_t i = 0; i < n; ++i)
+    acc += static_cast<double>(a[i]) * static_cast<double>(b[i]);
+  return static_cast<Real>(acc);
 #else
-  Real s = 0;
-  for (std::size_t i = 0; i < n; ++i) s += a[i] * b[i];
-  return s;
+  for (std::size_t i = 0; i < n; ++i)
+    acc += static_cast<double>(a[i]) * static_cast<double>(b[i]);
+  return static_cast<Real>(acc);
 #endif
 }
 
@@ -379,7 +381,7 @@ class OLBFGS {
   Options opt_;
   PairMemory<Real> mem_;
   TwoLoopScratch<Real> scratch_;
-  std::vector<Real> grad_prev_, dir_, grad_diff_;
+  std::vector<Real> grad_prev_, dir_;
   Phase phase_ = Phase::Start;
   long niter_ = 0;
 };
@@ -518,7 +520,7 @@ class SQN {
   Options opt_;
   PairMemory<Real> mem_;
   TwoLoopScratch<Real> scratch_;
-  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, dir_, grad_diff_;
+  std::vector<Real> grad_prev_, x_sum_, x_avg_prev_, dir_;
   Phase phase_ = Phase::Start;
   long niter_ = 0;
 };

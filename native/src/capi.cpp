@@ -2,6 +2,7 @@
 // backend (stochqn_tpu/native_backend.py) and available to other language
 // bindings. Float and double instantiations, like the reference's dual
 // USE_FLOAT/USE_DOUBLE builds — but from one template.
+#include <new>
 #include <cstring>
 
 #include "stochqn_native.hpp"
@@ -43,6 +44,16 @@ bool n_mismatch(const Opt* opt, std::size_t n, int* task, int* info,
 
 }  // namespace
 
+// Allocation failure must surface as nullptr across the C ABI (the
+// reference C core returns NULL on malloc failure) — a std::bad_alloc
+// escaping extern "C" into a ctypes caller aborts the process.
+#define SQN_NATIVE_TRY_NEW(EXPR)                                             \
+  try {                                                                      \
+    return new EXPR;                                                         \
+  } catch (const std::bad_alloc&) {                                          \
+    return nullptr;                                                          \
+  }
+
 extern "C" {
 
 // ---------------- oLBFGS ----------------
@@ -57,7 +68,7 @@ extern "C" {
     o.min_curvature = min_curvature;                                         \
     o.y_reg = y_reg;                                                         \
     o.check_nan = check_nan != 0;                                            \
-    return new OLBFGS<REAL>(n, o);                                           \
+    SQN_NATIVE_TRY_NEW(OLBFGS<REAL>(n, o));                                           \
   }                                                                          \
   void sqn_native_olbfgs_destroy_##SUFFIX(void* h) {                         \
     delete static_cast<OLBFGS<REAL>*>(h);                                    \
@@ -91,7 +102,7 @@ DEFINE_OLBFGS(f32, float)
     o.y_reg = y_reg;                                                         \
     o.use_grad_diff = use_grad_diff != 0;                                    \
     o.check_nan = check_nan != 0;                                            \
-    return new SQN<REAL>(n, o);                                              \
+    SQN_NATIVE_TRY_NEW(SQN<REAL>(n, o));                                              \
   }                                                                          \
   void sqn_native_sqn_destroy_##SUFFIX(void* h) {                            \
     delete static_cast<SQN<REAL>*>(h);                                       \
@@ -135,7 +146,7 @@ DEFINE_SQN(f32, float)
     o.use_grad_diff = use_grad_diff != 0;                                    \
     o.check_nan = check_nan != 0;                                            \
     o.h0_exact_reference = h0_exact_reference != 0;                          \
-    return new AdaQN<REAL>(n, o);                                            \
+    SQN_NATIVE_TRY_NEW(AdaQN<REAL>(n, o));                                            \
   }                                                                          \
   void sqn_native_adaqn_destroy_##SUFFIX(void* h) {                          \
     delete static_cast<AdaQN<REAL>*>(h);                                     \

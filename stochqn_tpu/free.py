@@ -90,8 +90,11 @@ class _StochQNFree:
         """Pass the requested gradient to the optimizer (any of the
         ``calc_grad*`` tasks)."""
         if self.backend == "native":
-            self._native.gradient[:] = np.asarray(
-                gradient, self._native.dtype).reshape(-1)
+            arr = np.asarray(gradient, self._native.dtype).reshape(-1)
+            if arr.shape[0] != self._n:
+                raise ValueError(f"gradient has {arr.shape[0]} elements, "
+                                 f"expected {self._n}")
+            self._native.gradient[:] = arr
             return
         gradient = self._check_len(
             jnp.asarray(gradient, self.dtype).reshape(-1), "gradient")
@@ -274,8 +277,11 @@ class SQN_free(_StochQNFree):
         """Pass the requested Hessian-vector product (task
         ``calc_hess_vec``)."""
         if self.backend == "native":
-            self._native.hess_vec[:] = np.asarray(
-                hess_vec, self._native.dtype).reshape(-1)
+            arr = np.asarray(hess_vec, self._native.dtype).reshape(-1)
+            if arr.shape[0] != self._n:
+                raise ValueError(f"hess_vec has {arr.shape[0]} elements, "
+                                 f"expected {self._n}")
+            self._native.hess_vec[:] = arr
             return
         self._hess_vec = self._check_len(
             jnp.asarray(hess_vec, self.dtype).reshape(-1), "hess_vec")

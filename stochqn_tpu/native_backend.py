@@ -35,13 +35,22 @@ def _build_library() -> str:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     src = os.path.join(_NATIVE_DIR, "src", "capi.cpp")
     inc = os.path.join(_NATIVE_DIR, "include")
+    # Build to a private temp file and atomically rename: another process
+    # (the one-at-a-time TPU workflow still allows concurrent CPU runs)
+    # must never dlopen a partially written .so.
+    tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
            "-fopenmp",
-           f"-I{inc}", src, "-o", _LIB_PATH]
+           f"-I{inc}", src, "-o", tmp_path]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         raise RuntimeError(
             "native library build failed:\n" + proc.stderr[-4000:])
+    os.replace(tmp_path, _LIB_PATH)
     return _LIB_PATH
 
 
@@ -251,7 +260,7 @@ class NativeAdaQN(_NativeBase):
         self.x[:] = x0
         (mem, fs, upd, mi, mc, sr, rw, yr, ugd, cn, h0ref) = self._args
         self._handle = self._fn("create")(
-            self._n, mem, max(fs, 1), upd, self._real(mi), self._real(mc),
+            self._n, mem, fs, upd, self._real(mi), self._real(mc),
             self._real(sr), self._real(rw), self._real(yr), ugd, cn, h0ref)
         if not self._handle:
             raise ValueError("invalid native optimizer parameters")

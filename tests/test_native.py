@@ -144,6 +144,35 @@ def test_native_fuzz_matches_jax(rng, cls, kw):
                 a, centers, x0, nsteps=70)
 
 
+def test_native_backend_validates_input_lengths(rng):
+    """The native path must reject wrong-length evaluation inputs exactly
+    like the JAX path (numpy would otherwise silently broadcast a
+    size-1 gradient over all n entries)."""
+    n = 6
+    opt = oLBFGS_free(mem_size=3, backend="native")
+    x = rng.standard_normal(n)
+    opt.run_optimizer(x, 0.05)
+    with pytest.raises(ValueError, match="expected 6"):
+        opt.update_gradient([0.5])
+    from stochqn_tpu.free import SQN_free
+    opt2 = SQN_free(mem_size=3, bfgs_upd_freq=2, backend="native")
+    opt2.run_optimizer(rng.standard_normal(n), 0.05)
+    with pytest.raises(ValueError, match="expected 6"):
+        opt2.update_hess_vec(np.zeros(3))
+
+
+def test_native_adaqn_rejects_zero_fisher(rng):
+    """fisher_size=0 without use_grad_diff must fail loudly (the C-side
+    guard), not silently degrade to a 1-slot Fisher memory."""
+    from stochqn_tpu.native_backend import NativeAdaQN
+    opt = NativeAdaQN(fisher_size=0, use_grad_diff=False)
+    with pytest.raises(ValueError):
+        opt.start(np.zeros(4))
+    # grad-diff mode never touches the Fisher memory: fisher_size=0 is fine
+    opt2 = NativeAdaQN(fisher_size=0, use_grad_diff=True, max_incr=0.0)
+    opt2.start(np.zeros(4))
+
+
 def test_native_float32(rng):
     n = 8
     a, centers = _quad(rng, n)
