@@ -12,6 +12,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 
+import jax
+
+# A 2-parameter host-driven request loop gains nothing from an
+# accelerator and pays a device round trip per protocol call (on a
+# networked TPU that is ~ms each) — pin CPU.  The on-device execution
+# mode is the fused engine: see fused_tpu_training.py.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)   # match the reference's f64
+
 import numpy as np
 
 from stochqn_tpu import SQN_free, oLBFGS_free
