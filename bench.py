@@ -16,9 +16,12 @@ and correction-pair update, exactly like the reference's accounting.
 this machine adds real run-to-run variance; a single timing is not
 trustworthy — see BENCH_NOTES.md).  ``spread_pct`` is (max-min)/median.
 
-``vs_baseline`` compares against the reference C core measured on this
-machine (``benchmarks/reference_baseline.py`` writes
-``BASELINE_MEASURED.json``); 1.0 when no measurement exists.
+``vs_baseline`` compares against the reference C core's float32 build
+measured on this machine (``benchmarks/reference_baseline.py`` writes
+``BASELINE_MEASURED.json``); when that gitignored file is absent, the
+fallback is the BEST reference measurement recorded on this machine
+(92.1 iters/s — see BENCH_NOTES.md), so the ratio is a floor.  The JSON
+reports which source was used (``baseline_source``).
 
 Utilization accounting (closed form, documented so the judge can re-derive):
 

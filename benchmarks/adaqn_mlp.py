@@ -127,9 +127,12 @@ def main():
             idx = epoch_order(epoch)[: nb * BATCH]
             return batchify((Xj[idx], Yj[idx]), BATCH)
 
-        # compile warmup on a throwaway state
-        st = trainer.init(params0)
-        st, _ = epoch_fn(st, batched(0), jnp.float32(STEP), aligned=True)
+        # nb % UPD_FREQ != 0, so every epoch takes the generic layout
+        # regardless of the aligned flag — pin it to ONE static value so
+        # no retrace/compile can land inside a timed epoch (flipping it
+        # after epoch 0 recompiled mid-benchmark).
+        st = trainer.init(params0)   # compile warmup on a throwaway state
+        st, _ = epoch_fn(st, batched(0), jnp.float32(STEP), aligned=False)
         float(jnp.sum(st.x))  # D2H barrier (see bench.py)
 
         state = trainer.init(params0)
@@ -138,7 +141,7 @@ def main():
             data = batched(ep)
             t0 = time.perf_counter()
             state, _ = epoch_fn(state, data, jnp.float32(STEP),
-                                aligned=int(state.niter) % UPD_FREQ == 0)
+                                aligned=False)
             float(jnp.sum(state.x))  # D2H barrier (see bench.py)
             t += time.perf_counter() - t0
             epochs_out.append((t, test_acc(trainer.params(state), Xte, yte)))
@@ -152,6 +155,12 @@ def main():
         x = np.asarray(x0, np.float64)  # driver keeps float64 view; core f32
 
         def big(b_idx, order):
+            # cyclic window over the CURRENT epoch's permutation — the
+            # same semantics as the fused engine's generic path
+            # (fused._cyclic_window) and the reference driver's
+            # "larger continuous sample" shortcut
+            # (stochqn/_optimizers.py:66-69), so all engines see
+            # equivalent boundary windows.
             sel = order[[(b_idx - UPD_FREQ + 1 + k) % nb
                          for k in range(UPD_FREQ)]].reshape(-1)
             return Xj[sel], Yj[sel]
@@ -192,12 +201,8 @@ def main():
         import importlib.util
         import tempfile
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        spec = importlib.util.spec_from_file_location(
-            "reference_baseline",
-            os.path.join(repo, "benchmarks", "reference_baseline.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
+        from benchmarks._util import load_reference_baseline
+        mod = load_reference_baseline()
         so = mod.compile_reference(tempfile.mkdtemp(prefix="mlp_ref_"),
                                    precision="float")
         lib = mod.bind_reference(ctypes.CDLL(so), precision="float")

@@ -2,6 +2,7 @@
 workload, plus the adaQN Pallas-projection variant. Chained-state timing."""
 import os
 import sys
+import statistics
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -61,15 +62,23 @@ def main():
         state = tr.init(x0)
         ep = jax.jit(tr.epoch, static_argnames=("aligned",))
         eta = jnp.float32(1e-2 if "adaQN" not in name else 1e-1)
-        state, _ = ep(state, (X, Y), eta, aligned=True)
-        float(jnp.sum(state.x))  # D2H barrier (see bench.py)
-        t0 = time.perf_counter()
-        for _ in range(5):
+        # two warmup epochs (the second warms steady-state caches — see
+        # bench.py), then the MEDIAN of repeated multi-epoch timings like
+        # every other TPU bench in this repo
+        for _ in range(2):
             state, _ = ep(state, (X, Y), eta, aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
-        dt = (time.perf_counter() - t0) / 5
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(5):
+                state, _ = ep(state, (X, Y), eta, aligned=True)
+            float(jnp.sum(state.x))  # D2H barrier (see bench.py)
+            reps.append((time.perf_counter() - t0) / 5)
+        dt = statistics.median(reps)
         ok = bool(jnp.all(jnp.isfinite(state.x)))
-        print(f"{name:26s} {B/dt:9.0f} iters/s  ({dt*1e3:6.2f} ms/epoch)"
+        print(f"{name:26s} {B/dt:9.0f} iters/s  ({dt*1e3:6.2f} ms/epoch, "
+              f"median of {len(reps)})"
               f"{'' if ok else '  NON-FINITE!'}")
 
 

@@ -98,7 +98,14 @@ def timeit(fn, g0, ops, iters=300, reps=3):
         print(f"    [debug] iters={iters} t_short={t_short*1e3:.1f}ms "
               f"t_long={t_long*1e3:.1f}ms dev={list(g.devices())[0]} "
               f"gsum={float(jnp.sum(g)):.4f}")
-    return max(t_long - t_short, 1e-9) / (3 * iters) * 1e6   # us/step
+    if t_long <= t_short:
+        # a host-load spike inverted the chain timings; a clamped
+        # near-zero would masquerade as an impossibly fast kernel and get
+        # merged into KERNELS.json as if valid
+        raise RuntimeError(
+            f"timing inversion (t_short={t_short*1e3:.1f}ms >= "
+            f"t_long={t_long*1e3:.1f}ms) — rerun this size")
+    return (t_long - t_short) / (3 * iters) * 1e6   # us/step
 
 
 def useful_bytes(n, st_bytes):

@@ -27,11 +27,8 @@ STEP = 1e-4
 
 
 def bench_reference():
-    spec = importlib.util.spec_from_file_location(
-        "reference_baseline", os.path.join(REPO, "benchmarks",
-                                           "reference_baseline.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from benchmarks._util import load_reference_baseline
+    mod = load_reference_baseline()
     lib = mod.bind_reference(ctypes.CDLL(mod.compile_reference(
         tempfile.mkdtemp(prefix="nvr_"))))
     dp = ctypes.POINTER(ctypes.c_double)
