@@ -52,3 +52,48 @@ def process_local_batch_slice(global_batch_size: int) -> slice:
     per = global_batch_size // jax.process_count()
     start = jax.process_index() * per
     return slice(start, start + per)
+
+
+def global_batches(local_data, mesh, batched: bool = True):
+    """Assemble GLOBAL device arrays from per-process batch slices.
+
+    The multi-process counterpart of :func:`stochqn_tpu.parallel.mesh.
+    shard_batches` (which ``device_put``s host data it assumes every
+    process holds in full): here each process supplies only its
+    ``process_local_batch_slice`` of the example axis, and
+    ``jax.make_array_from_process_local_data`` stitches the global
+    sharded array together — rows never leave the process that loaded
+    them.  Leaves are ``[B, bs_local, ...]`` (``batched=True``) or
+    ``[rows_local, ...]``.
+    """
+    import numpy as np
+
+    from stochqn_tpu.parallel.mesh import batch_sharding
+
+    axis = 1 if batched else 0
+
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        sharding = batch_sharding(mesh, leaf.ndim, axis)
+        global_shape = list(leaf.shape)
+        global_shape[axis] *= jax.process_count()
+        return jax.make_array_from_process_local_data(
+            sharding, leaf, tuple(global_shape))
+
+    return jax.tree_util.tree_map(place, local_data)
+
+
+def replicate_global(value, mesh):
+    """Build a fully-replicated global array from identical per-process
+    host data (e.g. the initial iterate): multi-process jit requires
+    global arrays even for replicated operands."""
+    import numpy as np
+
+    from stochqn_tpu.parallel.mesh import replicated
+
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        return jax.make_array_from_process_local_data(
+            replicated(mesh), leaf, leaf.shape)
+
+    return jax.tree_util.tree_map(place, value)
