@@ -117,7 +117,7 @@ def generate() -> str:
         "edit by hand (regenerate with `python docs/gen_api_docs.py`).\n"
         "Narrative docs: [design](design.md), [protocol](protocol.md),\n"
         "[api guide](api.md), [migration](migration.md),\n"
-        "[R bindings decision](r_bindings.md).\n")
+        "[R bindings](r_bindings.md).\n")
     for name in MODULES:
         render_module(out, name)
     return out.getvalue()

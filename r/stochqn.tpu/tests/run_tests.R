@@ -1,0 +1,131 @@
+# stopifnot-based test battery (no testthat dependency), run by
+# `R CMD check` or directly with `Rscript tests/run_tests.R` from the
+# package root after `R CMD INSTALL .`.
+#
+# Mirrors the Python suite's coverage at small scale: free-mode protocol
+# on Rosenbrock (the reference's own example problem,
+# /root/reference/example/c_rosen.c), guided partial_fit on logistic
+# regression, the error paths, and the adaQN guard wiring.
+library(stochqn.tpu)
+
+rosen_grad <- function(x) {
+    c(-400 * x[1] * (x[2] - x[1]^2) - 2 * (1 - x[1]),
+      200 * (x[2] - x[1]^2))
+}
+rosen_obj <- function(x) (1 - x[1])^2 + 100 * (x[2] - x[1]^2)^2
+
+# ---- free-mode oLBFGS descends Rosenbrock --------------------------------
+opt <- oLBFGS_free(mem_size = 8)
+x <- c(-1.2, 1.0)
+req <- run_oLBFGS_free(opt, x, 1e-3)
+stopifnot(req$task == "calc_grad")
+f0 <- rosen_obj(x)
+for (i in 1:400) {
+    stopifnot(req$task %in% c("calc_grad", "calc_grad_same_batch"))
+    update_gradient(opt, rosen_grad(req$requested_on))
+    req <- run_oLBFGS_free(opt, req$x, 1e-3)
+}
+x <- req$x
+stopifnot(rosen_obj(x) < f0)
+stopifnot(get_iteration_number(opt) > 100)
+print(opt)
+
+# ---- free-mode SQN with Hessian-vector requests --------------------------
+opt <- SQN_free(mem_size = 5, bfgs_upd_freq = 5)
+x <- c(-1.2, 1.0)
+req <- run_SQN_free(opt, x, 1e-4)
+saw_hess_vec <- FALSE
+for (i in 1:600) {
+    task <- req$task
+    if (task %in% c("calc_grad", "calc_grad_big_batch")) {
+        req_x <- if (is.list(req$requested_on)) req$requested_on$req_x
+                 else req$requested_on
+        update_gradient(opt, rosen_grad(req_x))
+    } else if (task == "calc_hess_vec") {
+        saw_hess_vec <- TRUE
+        h <- 1e-6
+        p <- req$requested_on$req_x
+        v <- req$requested_on$req_vec
+        update_hess_vec(opt, (rosen_grad(p + h * v) - rosen_grad(p)) / h)
+    } else {
+        stop(sprintf("unexpected task %s", task))
+    }
+    req <- run_SQN_free(opt, req$x, 1e-4)
+}
+stopifnot(saw_hess_vec)
+stopifnot(rosen_obj(req$x) < rosen_obj(c(-1.2, 1.0)))
+
+# ---- error paths ----------------------------------------------------------
+res <- tryCatch(oLBFGS_free(mem_size = 0), error = function(e) "err")
+stopifnot(identical(res, "err"))
+res <- tryCatch(update_hess_vec(oLBFGS_free(), c(1, 2)),
+                error = function(e) "err")
+stopifnot(identical(res, "err"))
+opt <- oLBFGS_free()
+invisible(run_oLBFGS_free(opt, c(1, 2, 3), 1e-3))
+res <- tryCatch(run_oLBFGS_free(opt, c(1, 2), 1e-3),
+                error = function(e) "err")
+stopifnot(identical(res, "err"))
+
+# ---- NaN gradient -> search_direction_was_nan, x unchanged ----------------
+opt <- oLBFGS_free()
+req <- run_oLBFGS_free(opt, c(1.0, 2.0), 1e-3)
+update_gradient(opt, c(NaN, 1.0))
+req <- run_oLBFGS_free(opt, req$x, 1e-3)
+stopifnot(req$info$iteration_info == "search_direction_was_nan")
+stopifnot(identical(req$x, c(1.0, 2.0)))
+stopifnot(req$task == "calc_grad")
+
+# ---- guided logistic regression learns a separable problem ----------------
+set.seed(42)
+n <- 2000
+d <- 8
+X <- matrix(rnorm(n * d), n, d)
+true_w <- 3 * rnorm(d)   # strong signal: optimal accuracy ~0.93
+y <- as.numeric(1 / (1 + exp(-(X %*% true_w))) > runif(n))
+
+model <- stochastic_logistic_regression(dim = d, optimizer = "adaQN",
+                                        lambda = 1e-4,
+                                        initial_step = 1e-1)
+batches <- split(seq_len(n), rep(1:20, length.out = n))
+for (epoch in 1:10) {
+    for (b in batches) {
+        partial_fit_logistic(model, X[b, , drop = FALSE], y[b])
+    }
+}
+acc <- mean(predict(model, X) == y)
+cat(sprintf("adaQN logistic accuracy: %.3f\n", acc))
+stopifnot(acc > 0.80)
+cf <- coef(model)
+stopifnot(length(cf$coefficients) == d)
+print(model)
+
+# ---- guided SQN with grad-diff pairs on the same data ----------------------
+model2 <- stochastic_logistic_regression(dim = d, optimizer = "SQN",
+                                         lambda = 1e-4,
+                                         initial_step = 5e-2,
+                                         use_grad_diff = TRUE,
+                                         bfgs_upd_freq = 5)
+for (epoch in 1:6) {
+    for (b in batches) {
+        partial_fit_logistic(model2, X[b, , drop = FALSE], y[b])
+    }
+}
+acc2 <- mean(predict(model2, X) == y)
+cat(sprintf("SQN logistic accuracy: %.3f\n", acc2))
+stopifnot(acc2 > 0.75)
+
+# ---- guided oLBFGS through the raw guided API ------------------------------
+lam <- 1e-4
+opt <- oLBFGS(x0 = rnorm(d + 1),
+              grad_fun = function(x, X, y, w, ...) {
+                  logistic_grad(x, X, y, w, lam)
+              },
+              pred_fun = logistic_pred, initial_step = 1e-1,
+              verbose = FALSE)
+Xi <- cbind(X, 1.0)
+for (b in batches) partial_fit(opt, Xi[b, , drop = FALSE], y[b])
+stopifnot(get_iteration_number(opt) == length(batches))
+stopifnot(length(get_curr_x(opt)) == d + 1)
+
+cat("all R binding tests passed\n")
