@@ -1,4 +1,7 @@
-"""Large-n showcase: SQN step cost at 16M parameters, f32 vs bf16 pairs.
+"""Large-n showcase: SQN step cost at 16M+ parameters, f32 vs bf16 pairs.
+
+Usage: python benchmarks/large_n.py [N] [--sqn-only|--adaqn-only]
+       [--f32-only|--bf16-only]    (N defaults to 16,000,000)
 
 At BibTeX scale (n=292k) the per-step cost sits at the backend's scan-step
 floor; at production scale (n in the tens of millions) the two streaming
@@ -23,23 +26,35 @@ from stochqn_tpu.core.config import SQNConfig
 from stochqn_tpu.fused import FusedTrainer
 
 N = 16_000_000
+for _a in sys.argv[1:]:
+    if _a.isdigit():          # e.g. `python benchmarks/large_n.py 64000000`
+        N = int(_a)
 B, L = 40, 8
 MEM = 10
 
 
 def main():
     rng = np.random.default_rng(0)
-    # synthetic separable quadratic: per-batch diagonal curvature + target
-    diag = jnp.asarray(rng.uniform(0.5, 2.0, N), jnp.float32)
+    # synthetic separable quadratic: diagonal curvature ramp + per-batch
+    # target.  The curvature is synthesized from iota INSIDE the gradient —
+    # a closed-over [n] constant would be embedded in the remote-compile
+    # payload (256 MB at n=64M -> upload failure; BENCH_NOTES.md
+    # methodology rule 2) and cost an extra HBM stream.
     targets = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
     x0 = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
 
     def grad_fn(x, batch):
         # cheap synthetic gradient: diag * (x - t); one pass over n
+        diag = 0.5 + 1.5 * (jax.lax.iota(jnp.float32, N) / N)
         t = jnp.mean(batch)
         return diag * (x - t)
 
-    for bf16 in (False, True):
+    variants = (False, True)
+    if "--bf16-only" in sys.argv:
+        variants = (True,)
+    elif "--f32-only" in sys.argv:
+        variants = (False,)
+    for bf16 in variants:
         cfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L,
                                use_grad_diff=True, pairs_bf16=bf16)
         tr = FusedTrainer("SQN", cfg, grad_fn)
@@ -66,11 +81,11 @@ def main_adaqn():
     from stochqn_tpu.core.config import AdaQNConfig
 
     rng = np.random.default_rng(0)
-    diag = jnp.asarray(rng.uniform(0.5, 2.0, N), jnp.float32)
     targets = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
     x0 = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
 
     def grad_fn(x, batch):
+        diag = 0.5 + 1.5 * (jax.lax.iota(jnp.float32, N) / N)
         t = jnp.mean(batch)
         return diag * (x - t)
 
