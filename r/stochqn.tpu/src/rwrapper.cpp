@@ -19,7 +19,9 @@
 #include <Rinternals.h>
 #include <R_ext/Rdynload.h>
 
+#include <cstdio>
 #include <cstring>
+#include <exception>
 #include <new>
 
 #include "stochqn_native.hpp"
@@ -77,6 +79,35 @@ Handle* unwrap(SEXP ptr, Kind expected) {
   return h;
 }
 
+// Validate an R scalar as a size BEFORE the size_t cast: NA_INTEGER and
+// negative values must become R errors, not huge allocations (the R layer
+// validates too, but the registered .Call routines are directly callable).
+std::size_t size_in(SEXP x, const char* what, int min_value) {
+  const int v = Rf_asInteger(x);
+  if (v == NA_INTEGER || v < min_value)
+    Rf_error("'%s' must be an integer >= %d", what, min_value);
+  return static_cast<std::size_t>(v);
+}
+
+// The cores' constructors allocate std::vectors; a std::bad_alloc (or any
+// other exception) escaping into R's C call frame would terminate the
+// process.  Translate to Rf_error instead — raised AFTER the catch block
+// completes, so the longjmp does not cut exception teardown short.
+template <class Opt, class... Args>
+Opt* make_opt(Args&&... args) {
+  char msg[256];
+  try {
+    return new Opt(static_cast<Args&&>(args)...);
+  } catch (const std::exception& e) {
+    std::snprintf(msg, sizeof msg, "optimizer construction failed: %s",
+                  e.what());
+  } catch (...) {
+    std::snprintf(msg, sizeof msg, "optimizer construction failed");
+  }
+  Rf_error("%s", msg);
+  return nullptr;  // unreachable (Rf_error does not return)
+}
+
 const double* real_in(SEXP x, std::size_t n, const char* what) {
   if (TYPEOF(x) != REALSXP) Rf_error("'%s' must be a numeric vector", what);
   if (static_cast<std::size_t>(Rf_xlength(x)) != n)
@@ -126,34 +157,29 @@ extern "C" {
 
 SEXP C_olbfgs_create(SEXP n_, SEXP mem_size_, SEXP hess_init_,
                      SEXP min_curvature_, SEXP y_reg_, SEXP check_nan_) {
-  const std::size_t n = static_cast<std::size_t>(Rf_asInteger(n_));
+  const std::size_t n = size_in(n_, "n", 1);
   OLBFGS<double>::Options o;
-  o.mem_size = static_cast<std::size_t>(Rf_asInteger(mem_size_));
+  o.mem_size = size_in(mem_size_, "mem_size", 1);
   o.hess_init = Rf_asReal(hess_init_);
   o.min_curvature = Rf_asReal(min_curvature_);
   o.y_reg = Rf_asReal(y_reg_);
   o.check_nan = Rf_asLogical(check_nan_) != 0;
-  if (n == 0 || o.mem_size == 0) Rf_error("'n' and 'mem_size' must be >= 1");
-  OLBFGS<double>* opt = new (std::nothrow) OLBFGS<double>(n, o);
-  if (!opt) Rf_error("allocation failure");
+  OLBFGS<double>* opt = make_opt<OLBFGS<double>>(n, o);
   return wrap_handle(Kind::OLBFGS, n, opt);
 }
 
 SEXP C_sqn_create(SEXP n_, SEXP mem_size_, SEXP upd_freq_,
                   SEXP min_curvature_, SEXP y_reg_, SEXP use_grad_diff_,
                   SEXP check_nan_) {
-  const std::size_t n = static_cast<std::size_t>(Rf_asInteger(n_));
+  const std::size_t n = size_in(n_, "n", 1);
   SQN<double>::Options o;
-  o.mem_size = static_cast<std::size_t>(Rf_asInteger(mem_size_));
-  o.upd_freq = static_cast<std::size_t>(Rf_asInteger(upd_freq_));
+  o.mem_size = size_in(mem_size_, "mem_size", 1);
+  o.upd_freq = size_in(upd_freq_, "bfgs_upd_freq", 1);
   o.min_curvature = Rf_asReal(min_curvature_);
   o.y_reg = Rf_asReal(y_reg_);
   o.use_grad_diff = Rf_asLogical(use_grad_diff_) != 0;
   o.check_nan = Rf_asLogical(check_nan_) != 0;
-  if (n == 0 || o.mem_size == 0 || o.upd_freq == 0)
-    Rf_error("'n', 'mem_size' and 'bfgs_upd_freq' must be >= 1");
-  SQN<double>* opt = new (std::nothrow) SQN<double>(n, o);
-  if (!opt) Rf_error("allocation failure");
+  SQN<double>* opt = make_opt<SQN<double>>(n, o);
   return wrap_handle(Kind::SQN, n, opt);
 }
 
@@ -162,11 +188,11 @@ SEXP C_adaqn_create(SEXP n_, SEXP mem_size_, SEXP fisher_size_,
                     SEXP scal_reg_, SEXP rmsprop_weight_, SEXP y_reg_,
                     SEXP use_grad_diff_, SEXP check_nan_,
                     SEXP h0_exact_reference_) {
-  const std::size_t n = static_cast<std::size_t>(Rf_asInteger(n_));
+  const std::size_t n = size_in(n_, "n", 1);
   AdaQN<double>::Options o;
-  o.mem_size = static_cast<std::size_t>(Rf_asInteger(mem_size_));
-  o.fisher_size = static_cast<std::size_t>(Rf_asInteger(fisher_size_));
-  o.upd_freq = static_cast<std::size_t>(Rf_asInteger(upd_freq_));
+  o.mem_size = size_in(mem_size_, "mem_size", 1);
+  o.fisher_size = size_in(fisher_size_, "fisher_size", 0);
+  o.upd_freq = size_in(upd_freq_, "bfgs_upd_freq", 1);
   o.max_incr = Rf_asReal(max_incr_);
   o.min_curvature = Rf_asReal(min_curvature_);
   o.scal_reg = Rf_asReal(scal_reg_);
@@ -175,12 +201,9 @@ SEXP C_adaqn_create(SEXP n_, SEXP mem_size_, SEXP fisher_size_,
   o.use_grad_diff = Rf_asLogical(use_grad_diff_) != 0;
   o.check_nan = Rf_asLogical(check_nan_) != 0;
   o.h0_exact_reference = Rf_asLogical(h0_exact_reference_) != 0;
-  if (n == 0 || o.mem_size == 0 || o.upd_freq == 0 ||
-      (!o.use_grad_diff && o.fisher_size == 0))
-    Rf_error("invalid adaQN sizes (n/mem_size/upd_freq >= 1; "
-             "fisher_size >= 1 unless use_grad_diff)");
-  AdaQN<double>* opt = new (std::nothrow) AdaQN<double>(n, o);
-  if (!opt) Rf_error("allocation failure");
+  if (!o.use_grad_diff && o.fisher_size == 0)
+    Rf_error("'fisher_size' must be >= 1 unless use_grad_diff");
+  AdaQN<double>* opt = make_opt<AdaQN<double>>(n, o);
   return wrap_handle(Kind::ADAQN, n, opt);
 }
 

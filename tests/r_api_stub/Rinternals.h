@@ -23,6 +23,10 @@ typedef enum { FALSE = 0, TRUE } Rboolean;
 #define VECSXP 19
 #define EXTPTRSXP 22
 
+/* R_ext/Arith.h: NA_INTEGER is INT_MIN */
+#include <climits>
+#define NA_INTEGER INT_MIN
+
 extern "C" {
 
 extern SEXP R_NilValue;
