@@ -106,6 +106,85 @@ def olbfgs_step(cfg: OLBFGSConfig, grad_fn: GradFn, state: OLBFGSState,
     return state, _info(bad, jnp.where(bad, True, accepted))
 
 
+def _olbfgs_epoch_paired(cfg: OLBFGSConfig, grad_fn: GradFn, state,
+                         data, step_size, unroll: int = 1):
+    """Software-pipelined oLBFGS epoch: ONE batched gradient evaluation per
+    step instead of two.
+
+    Protocol oLBFGS evaluates two gradients per iteration
+    (``src/stochqn.c:991-1031``): ``g = grad(x_k, b_k)`` before the step and
+    ``g2 = grad(x_{k+1}, b_k)`` after it (same batch, new iterate).  But
+    ``x_{k+1}`` is exactly where iteration ``k+1`` evaluates
+    ``grad(x_{k+1}, b_{k+1})`` — so the pair ``(g2_k, g_{k+1})`` shares one
+    evaluation point and fuses into a single ``jax.vmap`` over the stacked
+    ``[2, bs, ...]`` batch: every matmul in the user's gradient becomes one
+    batched op instead of two sequential ones.
+
+    MEASURED NEGATIVE RESULT (kept as an off-by-default knob): on the
+    flagship workload this is 13-16% slower than the sequential layout.
+    The op-count intuition fails here because a second back-to-back
+    gradient chain is nearly free (single-grad scan 50.4 us/step, double
+    59.4) while the vmapped pair costs 71.7 us/step -- the batch-2
+    dot_generals and the doubled per-step batch reads cost more than the
+    dispatch they save.  See BENCH_NOTES.md "oLBFGS paired-gradient
+    study" / ``benchmarks/olbfgs_paired.py``.
+
+    The pair commit for iteration ``k`` is therefore deferred into iteration
+    ``k+1`` (it uses ``g2_k`` from the fused call, *before* the two-loop
+    direction — the same ordering as the sequential step, where pair ``k``
+    lands in memory before direction ``k+1`` reads it).  The epoch ends with
+    a one-gradient epilogue committing the final pending pair, so the state
+    returned at the epoch boundary is exactly the sequential one.
+    Trajectory identity with :func:`olbfgs_step` is locked by
+    ``tests/test_fused.py::test_olbfgs_paired_matches_sequential``.
+    """
+    step_size = jnp.asarray(step_size, state.x.dtype)
+    # [B, 2, bs, ...]: row k pairs batch k-1 (the pending commit's batch)
+    # with batch k — built once, so the scan body slices ONE leaf per input
+    # instead of slicing two and stacking them per step.
+    paired = jax.tree_util.tree_map(
+        lambda a: jnp.stack([jnp.roll(a, 1, axis=0), a], axis=1), data)
+
+    def body(carry, stacked):
+        st, pend_g, pend_enabled = carry
+        g_pair = jax.vmap(grad_fn, in_axes=(None, 0))(st.x, stacked)
+        g2_prev, g = g_pair[0], g_pair[1]
+
+        # finish iteration k-1: commit its (s, y) pair (vetoed on the first
+        # step of the epoch and after a rejected direction)
+        mem, acc_prev = commit_pair(st.mem, g2_prev - pend_g,
+                                    cfg.min_curvature, cfg.y_reg,
+                                    enabled=pend_enabled)
+
+        # iteration k proper (same math as olbfgs_step)
+        d = two_loop_cached(g, mem, h0=cfg.hess_init)
+        bad = (direction_is_bad(d) if cfg.check_nan
+               else jnp.zeros((), bool))
+        s_cand = -step_size * d
+        x_new = jnp.where(bad, st.x, st.x + s_cand)
+        mem = conditional_flush(mem.replace(s_pending=s_cand), bad)
+        st = st.replace(x=x_new, mem=mem, grad_prev=g,
+                        niter=st.niter + 1, section=jnp.int32(1))
+        return (st, g, jnp.logical_not(bad)), (bad, acc_prev)
+
+    zero_g = jnp.zeros_like(state.x)
+    (st, pend_g, pend_enabled), (bads, acc_prevs) = jax.lax.scan(
+        body, (state, zero_g, jnp.zeros((), bool)), paired,
+        unroll=unroll)
+
+    # epilogue: one plain gradient call commits the last pending pair
+    b_last = jax.tree_util.tree_map(lambda a: a[-1], data)
+    g2_last = grad_fn(st.x, b_last)
+    mem, acc_last = commit_pair(st.mem, g2_last - pend_g,
+                                cfg.min_curvature, cfg.y_reg,
+                                enabled=pend_enabled)
+    st = st.replace(mem=mem)
+
+    accs = jnp.concatenate([acc_prevs[1:], acc_last[None]])
+    infos = jnp.where(bads, _NAN, jnp.where(accs, _NO_PROB, _CURV))
+    return st, infos
+
+
 # ===========================================================================
 # SQN
 # ===========================================================================
@@ -342,6 +421,15 @@ class FusedTrainer:
     # (lax.scan handles any factor; trajectories are identical).  1 = off:
     # measured fastest at flagship scale — see BENCH_NOTES.md unroll sweep.
     unroll: int = 1
+    # oLBFGS only: fuse the two per-iteration gradient evaluations into one
+    # vmapped call via software pipelining (see ``_olbfgs_epoch_paired``).
+    # Trajectory-identical, but measured SLOWER on the flagship workload
+    # (3.8k vs 4.4k iters/s): a second sequential gradient chain costs only
+    # ~9 us/step on this backend while the vmapped [2, bs, ...] version's
+    # batched dot_generals cost ~21 us/step over a single gradient — see
+    # BENCH_NOTES.md "oLBFGS paired-gradient study".  Default off; kept as
+    # a measured knob (like ``unroll``).
+    paired_grads: bool = False
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -394,6 +482,11 @@ class FusedTrainer:
         L = getattr(self.cfg, "upd_freq", 1)
 
         if self.optimizer == "oLBFGS":
+            if self.paired_grads:
+                return _olbfgs_epoch_paired(self.cfg, self.grad_fn, state,
+                                            data, step_size,
+                                            unroll=self.unroll)
+
             def body(st, batch):
                 return olbfgs_step(self.cfg, self.grad_fn, st, batch,
                                    step_size)

@@ -300,6 +300,45 @@ def test_unroll_is_trajectory_identical(rng, kind):
     np.testing.assert_allclose(unrolled, base, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("kw", [
+    dict(mem_size=4, min_curvature=1e-4, y_reg=1e-3),
+    dict(mem_size=1, hess_init=0.5),
+    dict(mem_size=4, min_curvature=0.5),   # forces curvature rejections
+])
+def test_olbfgs_paired_matches_sequential(rng, kw):
+    """The paired-gradient pipelined oLBFGS epoch is a pure scheduling
+    transformation: identical trajectory, memory contents, and info codes
+    as the sequential two-gradient step."""
+    n, B, bs = 10, 12, 3
+    a = _quad_problem(rng, n)
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    grad_fn, _ = _make_funs(a)
+    cfg = OLBFGSConfig.create(**kw)
+
+    runs = {}
+    for paired in (True, False):
+        trainer = FusedTrainer("oLBFGS", cfg, grad_fn, paired_grads=paired)
+        state = trainer.init(jnp.zeros(n))
+        epoch_fn = jax.jit(trainer.epoch)
+        infos = []
+        for _ in range(NEPOCHS):
+            state, info = epoch_fn(state, centers, 0.05)
+            infos.append(np.asarray(info))
+        runs[paired] = (state, np.concatenate(infos))
+
+    sp, ip = runs[True]
+    ss, is_ = runs[False]
+    np.testing.assert_allclose(sp.x, ss.x, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(sp.grad_prev, ss.grad_prev, rtol=RTOL,
+                               atol=ATOL)
+    np.testing.assert_allclose(sp.mem.s, ss.mem.s, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(sp.mem.y, ss.mem.y, rtol=RTOL, atol=ATOL)
+    assert int(sp.mem.head) == int(ss.mem.head)
+    assert int(sp.mem.count) == int(ss.mem.count)
+    assert int(sp.niter) == int(ss.niter)
+    np.testing.assert_array_equal(ip, is_)
+
+
 def test_batchify_drops_tail(rng):
     data = {"x": jnp.zeros((10, 3)), "y": jnp.zeros((10,))}
     out = batchify(data, 4)
