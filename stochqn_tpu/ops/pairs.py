@@ -20,12 +20,18 @@ from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm, _mem_mm
 
 def direction_is_bad(direction: jax.Array) -> jax.Array:
     """Reference guard: non-finite direction, or ``||d||_2 > 1e3 * n``
-    (``src/stochqn.c:827-829``)."""
+    (``src/stochqn.c:827-829``).
+
+    Implemented as ONE ``[n]`` reduction instead of an ``isfinite``-all
+    plus a norm: any NaN/Inf entry makes the norm NaN/Inf, and both fail
+    ``norm <= threshold`` — so ``not (norm <= t)`` is exactly
+    ``(not finite) or (norm > t)``.  This runs in every engine's per-step
+    hot path, where op count is the cost driver.
+    """
     n = direction.shape[0]
-    finite = jnp.all(jnp.isfinite(direction))
     acc_t = jnp.promote_types(direction.dtype, jnp.float32)
     norm = jnp.linalg.norm(direction.astype(acc_t))
-    return jnp.logical_not(finite) | (norm > jnp.asarray(1e3 * n, acc_t))
+    return jnp.logical_not(norm <= jnp.asarray(1e3 * n, acc_t))
 
 
 def conditional_flush(mem: BFGSMemory, pred: jax.Array) -> BFGSMemory:
