@@ -135,7 +135,7 @@ def build():
 
 def main():
     trainer, state, data = build()
-    epoch_fn = jax.jit(trainer.epoch, static_argnames=("aligned",))
+    epoch_fn = trainer.jit_epoch()   # state carry donated (in-place pairs)
     eta = jnp.asarray(STEP, DTYPE)
 
     # warmup / compile (2 epochs: the second warms steady-state caches)

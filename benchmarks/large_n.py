@@ -59,7 +59,10 @@ def main():
                                use_grad_diff=True, pairs_bf16=bf16)
         tr = FusedTrainer("SQN", cfg, grad_fn)
         state = tr.init(x0)
-        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
+        # donated state carry: without it the epoch dispatch holds
+        # input+output copies of the [2m, n] pair memory and f32 OOMs at
+        # n=64M (BENCH_NOTES.md large-n table)
+        ep = tr.jit_epoch()
         state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         t0 = time.perf_counter()
@@ -101,7 +104,7 @@ def main_adaqn():
             pairs_bf16=bf16, fisher_bf16=fisher_bf16, use_pallas=pallas)
         tr = FusedTrainer("adaQN", cfg, grad_fn)
         state = tr.init(x0)
-        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
+        ep = tr.jit_epoch()
         state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)
         float(jnp.sum(state.x))
         t0 = time.perf_counter()

@@ -21,6 +21,20 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def _own(x0) -> jax.Array:
+    """A buffer the state owns exclusively.
+
+    ``jnp.asarray`` aliases an input that is already a JAX array; the fused
+    engine donates the state carry into its epoch dispatch
+    (``FusedTrainer.jit_epoch``), and donating a buffer the caller still
+    holds would invalidate their array (and donating one buffer reachable
+    through two state leaves is an XLA error).  A one-time copy at init
+    removes both hazards.
+    """
+    x0 = jnp.asarray(x0)
+    return jnp.array(x0, copy=True)
+
+
 @struct.dataclass
 class BFGSMemory:
     """Ring buffer of (s, y) correction pairs, chronological via head/count.
@@ -164,7 +178,7 @@ class OLBFGSState:
     @classmethod
     def create(cls, x0: jax.Array, mem_size: int,
                pairs_bf16: bool = False) -> "OLBFGSState":
-        x0 = jnp.asarray(x0)
+        x0 = _own(x0)
         n = x0.shape[0]
         st_t = jnp.bfloat16 if pairs_bf16 else None
         return cls(
@@ -197,16 +211,17 @@ class SQNState:
     @classmethod
     def create(cls, x0: jax.Array, mem_size: int,
                pairs_bf16: bool = False) -> "SQNState":
-        x0 = jnp.asarray(x0)
+        x0 = _own(x0)
         n = x0.shape[0]
-        zeros = jnp.zeros((n,), dtype=x0.dtype)
         st_t = jnp.bfloat16 if pairs_bf16 else None
+        # one jnp.zeros per field: a single shared buffer reachable through
+        # several leaves would be donated twice (XLA error) — see _own
         return cls(
             x=x0,
             mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
-            grad_prev=zeros,
-            x_sum=zeros,
-            x_avg_prev=zeros,
+            grad_prev=jnp.zeros((n,), dtype=x0.dtype),
+            x_sum=jnp.zeros((n,), dtype=x0.dtype),
+            x_avg_prev=jnp.zeros((n,), dtype=x0.dtype),
             niter=jnp.zeros((), dtype=jnp.int32),
             section=jnp.zeros((), dtype=jnp.int32),
         )
@@ -232,19 +247,19 @@ class AdaQNState:
     def create(cls, x0: jax.Array, mem_size: int, fisher_size: int,
                pairs_bf16: bool = False,
                fisher_bf16: bool = False) -> "AdaQNState":
-        x0 = jnp.asarray(x0)
+        x0 = _own(x0)
         n = x0.shape[0]
-        zeros = jnp.zeros((n,), dtype=x0.dtype)
         st_t = jnp.bfloat16 if pairs_bf16 else None
         f_t = jnp.bfloat16 if fisher_bf16 else None
+        # one jnp.zeros per field (donation-safe — see _own / SQNState)
         return cls(
             x=x0,
             mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
             fisher=FisherMemory.create(max(fisher_size, 1), n, x0.dtype, f_t),
-            grad_prev=zeros,
-            x_sum=zeros,
-            x_avg_prev=zeros,
-            grad_sum_sq=zeros,
+            grad_prev=jnp.zeros((n,), dtype=x0.dtype),
+            x_sum=jnp.zeros((n,), dtype=x0.dtype),
+            x_avg_prev=jnp.zeros((n,), dtype=x0.dtype),
+            grad_sum_sq=jnp.zeros((n,), dtype=x0.dtype),
             f_prev=jnp.zeros((), dtype=x0.dtype),
             niter=jnp.zeros((), dtype=jnp.int32),
             section=jnp.zeros((), dtype=jnp.int32),

@@ -430,6 +430,18 @@ class FusedTrainer:
     # BENCH_NOTES.md "oLBFGS paired-gradient study".  Default off; kept as
     # a measured knob (like ``unroll``).
     paired_grads: bool = False
+    # Donate the state carry into the jitted epoch (``run_epochs`` /
+    # ``jit_epoch``) so XLA reuses the ``[m, n]`` pair-memory buffers
+    # in place instead of holding input+output copies of them across the
+    # epoch dispatch.  This halves the peak pair-memory footprint — the
+    # capacity axis at the top of the single-chip range (f32 n=64M needs
+    # 5.1 GB of pairs; see BENCH_NOTES.md large-n table) — and is
+    # trajectory-identical (locked by
+    # ``tests/test_fused.py::test_donated_epoch_trajectory_identical``).
+    # The cost: the state passed INTO ``run_epochs``/the jitted epoch is
+    # consumed (its buffers are invalidated); keep ``donate=False`` or
+    # checkpoint first if the pre-epoch state must stay readable.
+    donate: bool = True
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -580,6 +592,19 @@ class FusedTrainer:
         return jax.lax.scan(body, state, jnp.arange(num_batches),
                             unroll=self.unroll)
 
+    def jit_epoch(self):
+        """The cached jitted ``epoch``, with the state carry donated when
+        ``self.donate`` (the default — see the field comment).  Use this
+        (or ``run_epochs``) rather than ``jax.jit(trainer.epoch, ...)``
+        directly to get the in-place pair-memory reuse."""
+        if self._epoch_jit is None:
+            donate = (0,) if self.donate else ()
+            object.__setattr__(
+                self, "_epoch_jit",
+                jax.jit(self.epoch, static_argnames=("aligned",),
+                        donate_argnums=donate))
+        return self._epoch_jit
+
     # -- multi-epoch driver ------------------------------------------------ #
     def run_epochs(self, state, data, nepochs, step_size,
                    decr_step_size=None, shuffle_key=None):
@@ -587,12 +612,13 @@ class FusedTrainer:
 
         ``data`` leaves are pre-batched ``[B, bs, ...]``.
         ``decr_step_size(step0, epoch)`` mirrors the guided schedule hook.
+
+        With the default ``donate=True`` the *passed-in* ``state``'s buffers
+        are donated to the first epoch dispatch and become unreadable
+        afterwards (the returned state is the live one) — construct the
+        trainer with ``donate=False`` to keep them.
         """
-        if self._epoch_jit is None:
-            object.__setattr__(
-                self, "_epoch_jit",
-                jax.jit(self.epoch, static_argnames=("aligned",)))
-        epoch_fn = self._epoch_jit
+        epoch_fn = self.jit_epoch()
         L = getattr(self.cfg, "upd_freq", 1)
         num_batches = jax.tree_util.tree_leaves(data)[0].shape[0]
         # Resolve the chunked-layout alignment contract statically — a

@@ -83,6 +83,35 @@ def global_batches(local_data, mesh, batched: bool = True):
     return jax.tree_util.tree_map(place, local_data)
 
 
+def shard_state_global(state, mesh):
+    """Multi-process counterpart of :func:`stochqn_tpu.parallel.mesh.
+    shard_state`: place an optimizer state on a mesh that spans processes,
+    parameter-axis arrays sharded over ``param`` and everything else
+    replicated.
+
+    Each process holds the full state host-side (states are small next to
+    data); ``jax.make_array_from_callback`` hands every device exactly its
+    shard, which is required because ``jax.device_put`` cannot target
+    devices another process owns.
+    """
+    import numpy as np
+
+    from stochqn_tpu.parallel.mesh import (_PARAM_AXIS_FIELDS,
+                                           param_sharding, replicated)
+
+    def place(path, leaf):
+        name = path[-1].name if path and hasattr(path[-1], "name") else None
+        arr = np.asarray(leaf)
+        if name in _PARAM_AXIS_FIELDS and arr.ndim >= 1:
+            sharding = param_sharding(mesh, arr.ndim)
+        else:
+            sharding = replicated(mesh)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx, a=arr: a[idx])
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def replicate_global(value, mesh):
     """Build a fully-replicated global array from identical per-process
     host data (e.g. the initial iterate): multi-process jit requires

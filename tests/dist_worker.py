@@ -2,19 +2,29 @@
 
 Each worker owns 4 virtual CPU devices; two workers form one 8-device
 jax.distributed cluster over a localhost Gloo coordinator.  The worker
-loads ONLY its process_local_batch_slice of the global dataset, assembles
-global sharded batches with parallel.distributed.global_batches, runs a
-data-parallel fused SQN epoch, and writes the (replicated) final-iterate
-checksum for the parent test to compare across workers and against the
-single-process trajectory.
+builds the shared global problem (``tests/dist_common.py``) for the
+requested optimizer and topology, loads ONLY its
+process_local_batch_slice of the dataset, runs NEPOCHS data-parallel
+fused epochs, and writes the final iterate for the parent test to compare
+across workers and against the single-process trajectory.
+
+Topologies:
+  * ``dp``    — data-only mesh (8 x 1): state replicated, batches sharded
+    8-way with the example axis spanning both processes.
+  * ``param`` — (data x param) mesh (2 x 4): batch example axis sharded
+    across the two processes, every [*, n] state array sharded 4-way over
+    each process's local devices (the large-n layout, SURVEY §5).
 
 Usage: python tests/dist_worker.py <pid> <nproc> <port> <outfile>
+                                   <optimizer> <topology>
 """
 import os
 import sys
 
 pid, nproc, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
+optimizer = sys.argv[5] if len(sys.argv) > 5 else "SQN"
+topology = sys.argv[6] if len(sys.argv) > 6 else "dp"
 os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
                            "--xla_cpu_max_isa=AVX2")
 
@@ -29,44 +39,45 @@ jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=nproc, process_id=pid)
 
 from stochqn_tpu.parallel import distributed
+from stochqn_tpu.parallel.mesh import make_mesh
 
 assert jax.process_count() == nproc
 
 import numpy as np
 import jax.numpy as jnp
 
-from stochqn_tpu.core.config import SQNConfig
-from stochqn_tpu.fused import FusedTrainer
+import dist_common as dc
 
-B, BS_GLOBAL, N, L = 8, 8, 12, 4
+centers, a, x0 = dc.make_data()
+trainer = dc.make_trainer(optimizer, a)
 
-# Full global dataset, deterministic on every process; each worker keeps
-# only its slice of the example axis.
-rng = np.random.default_rng(0)
-centers = rng.standard_normal((B, BS_GLOBAL, N)).astype(np.float32)
-a = np.diag(rng.uniform(0.5, 2.0, N)).astype(np.float32)
-x0 = np.zeros(N, np.float32)
-rows = distributed.process_local_batch_slice(BS_GLOBAL)
+# per-process ingestion: keep only this process's slice of the example axis
+rows = distributed.process_local_batch_slice(dc.BS_GLOBAL)
 local = centers[:, rows, :]
 
-aj = jnp.asarray(a)
-
-
-def grad_fn(x, batch):
-    return aj @ (x - jnp.mean(batch, axis=0))
-
-
-trainer = FusedTrainer("SQN", SQNConfig.create(mem_size=3, bfgs_upd_freq=L),
-                       grad_fn)
-mesh = distributed.global_mesh()
-state = distributed.replicate_global(trainer.init(jnp.asarray(x0)), mesh)
+if topology == "dp":
+    mesh = distributed.global_mesh()             # (8 data x 1 param)
+    state = distributed.replicate_global(trainer.init(jnp.asarray(x0)),
+                                         mesh)
+else:
+    # example axis split across the two processes; param axis within each
+    mesh = make_mesh(n_data=nproc, n_param=len(jax.devices()) // nproc)
+    state = distributed.shard_state_global(trainer.init(jnp.asarray(x0)),
+                                           mesh)
 data = distributed.global_batches(local, mesh)
 
-epoch = jax.jit(trainer.epoch, static_argnames=("aligned",))
-for _ in range(2):
-    state, _ = epoch(state, data, jnp.float32(0.1), aligned=True)
+epoch = trainer.jit_epoch()
+for _ in range(dc.NEPOCHS):
+    state, _ = epoch(state, data, jnp.float32(dc.STEP), aligned=True)
 
-x = np.asarray(jax.device_get(state.x))
+# every process reassembles the global iterate; a param-sharded x must be
+# resharded to replicated first (an all-gather) to become host-readable
+x_arr = state.x
+if topology != "dp":
+    from stochqn_tpu.parallel.mesh import replicated
+    x_arr = jax.jit(lambda v: v, out_shardings=replicated(mesh))(state.x)
+x = np.asarray(jax.device_get(x_arr))
 with open(outfile, "w") as f:
     f.write(" ".join(f"{v:.8e}" for v in x))
-print(f"[worker {pid}] done, niter={int(state.niter)}", flush=True)
+print(f"[worker {pid}] {optimizer}/{topology} done, "
+      f"niter={int(state.niter)}", flush=True)

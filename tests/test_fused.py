@@ -300,6 +300,59 @@ def test_unroll_is_trajectory_identical(rng, kind):
     np.testing.assert_allclose(unrolled, base, rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
+def test_donated_epoch_trajectory_identical(rng, kind):
+    """``FusedTrainer.jit_epoch`` donates the state carry (default) so XLA
+    reuses the pair-memory buffers in place.  Donation is a pure memory
+    optimization: the trajectory must be bitwise identical to the
+    undonated dispatch, and the donated-in state must actually be consumed
+    (its buffers invalidated) — which also proves the state holds no
+    buffer aliased by anything the caller still needs."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    grad_fn, obj_fn = _make_funs(a)
+    if kind == "oLBFGS":
+        cfg = OLBFGSConfig.create(mem_size=3)
+    elif kind == "SQN":
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    else:
+        cfg = AdaQNConfig.create(mem_size=3, bfgs_upd_freq=L, max_incr=1.01)
+    obj = obj_fn if kind == "adaQN" else None
+
+    plain = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj, donate=False)
+    st_p = plain.init(jnp.zeros(n))
+    st_p, infos_p = plain.run_epochs(st_p, centers, NEPOCHS, 0.05)
+
+    don = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj)   # donate=True
+    st0 = don.init(jnp.zeros(n))
+    st_d, infos_d = don.run_epochs(st0, centers, NEPOCHS, 0.05)
+
+    np.testing.assert_array_equal(np.asarray(st_d.x), np.asarray(st_p.x))
+    np.testing.assert_array_equal(np.asarray(st_d.mem.s),
+                                  np.asarray(st_p.mem.s))
+    np.testing.assert_array_equal(np.asarray(infos_d), np.asarray(infos_p))
+    # the donated-in state was consumed by the first epoch dispatch
+    assert st0.x.is_deleted()
+
+
+def test_init_copies_x0(rng):
+    """``trainer.init`` must own its buffers: the caller's ``x0`` array
+    stays readable after donated epochs, and repeated ``init(x0)`` works."""
+    n, B, bs = 6, 4, 2
+    grad_fn, _ = _make_funs(_quad_problem(rng, n))
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    trainer = FusedTrainer("SQN", SQNConfig.create(mem_size=2,
+                                                   bfgs_upd_freq=2), grad_fn)
+    x0 = jnp.asarray(rng.standard_normal(n))
+    st = trainer.init(x0)
+    st, _ = trainer.run_epochs(st, centers, 1, 0.05)
+    assert np.all(np.isfinite(np.asarray(x0)))       # not invalidated
+    st2 = trainer.init(x0)                           # reusable
+    st2, _ = trainer.run_epochs(st2, centers, 1, 0.05)
+    np.testing.assert_array_equal(np.asarray(st2.x), np.asarray(st.x))
+
+
 @pytest.mark.parametrize("kw", [
     dict(mem_size=4, min_curvature=1e-4, y_reg=1e-3),
     dict(mem_size=1, hess_init=0.5),
