@@ -5,6 +5,9 @@
 #include <new>
 #include <cstring>
 
+// the public C declarations first: any drift between the C header and the
+// definitions below is then a compile error, not a silent ABI break
+#include "stochqn_native.h"
 #include "stochqn_native.hpp"
 
 using stochqn_native::AdaQN;

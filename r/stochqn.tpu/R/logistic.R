@@ -1,7 +1,9 @@
 # Stochastic (binary) logistic regression over the guided optimizers —
-# the counterpart of the reference's R model (R/logistic.R), matrix
-# interface, with self-contained closed-form loss / gradient /
-# Hessian-vector functions.
+# the counterpart of the reference's R model (R/logistic.R): formula
+# interface with factor-level pinning and `pos_class` handling
+# (reference R/logistic.R:120-210,333-435), data.frame `predict`
+# (:218-318), plus the matrix interface, with self-contained closed-form
+# loss / gradient / Hessian-vector functions.
 #
 # Note the reference's `logistic_Hess_vec` scales `t(X)` by the sigmoid
 # variance with element-wise recycling (`(t(X) * diag) %*% ...`,
@@ -59,31 +61,83 @@ with.intercept <- function(X, intercept) {
     if (intercept) cbind(X, 1.0) else X
 }
 
+# Re-pin the factor columns of a data.frame to the levels seen in the
+# first batch — whatever levels the first batch had ARE the model's
+# levels (reference R/logistic.R:347-354,408-412); unseen levels in later
+# batches become NA rather than silently renumbering the design columns.
+pin.factor.levels <- function(df, cols, levs) {
+    for (cl in cols) {
+        df[[cl]] <- factor(df[[cl]], levels = levs[[cl]])
+    }
+    df
+}
+
+chars.to.factors <- function(df) {
+    chr <- names(df)[vapply(df, is.character, logical(1))]
+    for (cl in chr) df[[cl]] <- factor(df[[cl]])
+    df
+}
+
 #' Binary logistic regression fit in batches with oLBFGS / SQN / adaQN.
-#' Matrix interface; `dim` (number of features) may be deferred to the
-#' first `partial_fit_logistic` batch, like the reference
-#' (R/logistic.R:344-403).
+#'
+#' Two interfaces, as in the reference (R/logistic.R:120-210):
+#'   * formula: pass `formula` + `pos_class`; batches are data.frames
+#'     containing the target column; the design matrix (factor encoding
+#'     included) comes from `model.matrix`, with factor levels pinned
+#'     from the FIRST batch; `intercept`/`dim` are ignored.
+#'   * matrix: pass `dim` (or `x0`, or defer to the first batch's column
+#'     count) and 0/1 targets.
+#' `val_data = list(X=, y=, w=)` supplies adaQN's function-value guard
+#' validation set (with formula, `X` is a data.frame containing the
+#' target and `y` is derived from it).
 #' @export
-stochastic_logistic_regression <- function(dim = NULL, intercept = TRUE,
+stochastic_logistic_regression <- function(formula = NULL, pos_class = NULL,
+                                           dim = NULL, intercept = TRUE,
                                            x0 = NULL, optimizer = "adaQN",
                                            lambda = 1e-3, random_seed = 1,
-                                           ...) {
+                                           val_data = NULL, ...) {
     if (!optimizer %in% c("oLBFGS", "SQN", "adaQN")) {
         stop("'optimizer' must be one of 'oLBFGS', 'SQN', 'adaQN'")
     }
+    if (!is.null(val_data)) {
+        if (!is.list(val_data) || !("X" %in% names(val_data))) {
+            stop("'val_data' must be a list with entries 'X', 'y', ",
+                 "optionally 'w'")
+        }
+        if (is.null(formula) && is.null(val_data$y)) {
+            stop("'val_data$y' is required without a formula")
+        }
+    }
     model <- new.env(parent = emptyenv())
+    model$formula   <- NULL
+    model$pos_class <- NULL
+    model$colnames  <- NULL
+    if (!is.null(formula)) {
+        if (!inherits(formula, "formula")) {
+            stop("'formula' must be a formula, e.g. y ~ x1 + x2")
+        }
+        if (is.null(pos_class) || length(pos_class) != 1L ||
+            !is.character(pos_class)) {
+            stop("with 'formula', 'pos_class' must be a single string")
+        }
+        model$formula   <- formula
+        model$pos_class <- pos_class
+        dim <- NULL; x0 <- NULL        # design size comes from the data
+        intercept <- FALSE             # model.matrix supplies the column
+    }
     model$intercept <- check.flag(intercept, "intercept")
     model$lambda    <- check.nonneg.number(lambda, "lambda")
     model$opt_name  <- optimizer
     model$opt_args  <- list(...)
     model$seed      <- random_seed
+    model$val_data  <- val_data
     model$optimizer <- NULL
     if (!is.null(x0)) {
         model$x0 <- check.numeric.vector(x0, "x0")
     } else if (!is.null(dim)) {
         nvar <- check.positive.integer(dim, "dim") + as.integer(intercept)
         set.seed(random_seed)
-        model$x0 <- rnorm(nvar)
+        model$x0 <- rnorm(nvar, sd = 0.1)
     } else {
         model$x0 <- NULL  # deferred to the first batch
     }
@@ -91,11 +145,7 @@ stochastic_logistic_regression <- function(dim = NULL, intercept = TRUE,
     model
 }
 
-init.logistic <- function(model, nfeat) {
-    if (is.null(model$x0)) {
-        set.seed(model$seed)
-        model$x0 <- rnorm(nfeat + as.integer(model$intercept))
-    }
+build.optimizer <- function(model) {
     lam <- model$lambda
     grad_fun <- function(x, X, y, w, ...) logistic_grad(x, X, y, w, lam)
     obj_fun  <- function(x, X, y, w, ...) logistic_loss(x, X, y, w, lam)
@@ -105,6 +155,11 @@ init.logistic <- function(model, nfeat) {
     ctor_args <- c(list(x0 = model$x0, grad_fun = grad_fun,
                         pred_fun = logistic_pred, verbose = FALSE),
                    model$opt_args)
+    if (model$opt_name == "adaQN" && !is.null(model$val_data)) {
+        ctor_args$X_val <- model$val_data$X
+        ctor_args$y_val <- model$val_data$y
+        ctor_args$w_val <- model$val_data$w
+    }
     if (model$opt_name == "SQN") {
         ctor_args$hess_vec_fun <- hv_fun
         model$optimizer <- do.call(SQN, ctor_args)
@@ -117,11 +172,96 @@ init.logistic <- function(model, nfeat) {
     invisible(model)
 }
 
+init.logistic <- function(model, nfeat) {
+    if (is.null(model$x0)) {
+        set.seed(model$seed)
+        model$x0 <- rnorm(nfeat + as.integer(model$intercept), sd = 0.1)
+    }
+    if (!is.null(model$val_data)) {
+        model$val_data$X <- with.intercept(as.matrix(model$val_data$X),
+                                           model$intercept)
+        model$val_data$y <- as.numeric(model$val_data$y)
+    }
+    build.optimizer(model)
+}
+
+# Formula-path deferred initialization from the first batch (reference
+# R/logistic.R:344-403): character columns become factors; factor levels
+# are pinned; the target column comes from the formula's response, must
+# be a 2-level factor containing `pos_class`; the design size and column
+# names come from `model.matrix` on the (level-pinned) batch.
+init.formula <- function(model, X) {
+    X <- chars.to.factors(X)
+    target <- all.vars(model$formula)[1]
+    if (!(target %in% colnames(X))) {
+        stop("'X' does not contain the target column")
+    }
+    if (!is.factor(X[[target]])) {
+        stop("the target column in the formula must be a factor")
+    }
+    if (length(levels(X[[target]])) != 2) {
+        stop("the target column must have exactly 2 factor levels")
+    }
+    if (!(model$pos_class %in% levels(X[[target]]))) {
+        stop("'pos_class' is not a factor level of the target column")
+    }
+    model$target_col <- target
+    model$neg_class  <- setdiff(levels(X[[target]]), model$pos_class)
+    fac <- names(X)[vapply(X, is.factor, logical(1))]
+    model$factor_cols <- setdiff(fac, target)
+    model$factor_levs <- lapply(model$factor_cols,
+                                function(cl) levels(X[[cl]]))
+    names(model$factor_levs) <- model$factor_cols
+
+    design <- model.matrix(model$formula, data = X)
+    model$colnames <- colnames(design)
+    set.seed(model$seed)
+    model$x0 <- rnorm(ncol(design), sd = 0.1)
+
+    if (!is.null(model$val_data)) {
+        xv <- chars.to.factors(as.data.frame(model$val_data$X))
+        xv <- pin.factor.levels(xv, model$factor_cols, model$factor_levs)
+        if (!(target %in% colnames(xv))) {
+            stop("'X' in 'val_data' does not contain the target column")
+        }
+        model$val_data$y <- as.numeric(xv[[target]] == model$pos_class)
+        model$val_data$X <- model.matrix(model$formula, data = xv)
+    }
+    build.optimizer(model)
+}
+
+# data.frame batch -> (design matrix, 0/1 target) under the pinned levels
+formula.batch <- function(model, X) {
+    if (!is.data.frame(X)) {
+        stop("'X' must be a data.frame when using the formula interface")
+    }
+    X <- chars.to.factors(X)
+    X <- pin.factor.levels(X, model$factor_cols, model$factor_levs)
+    if (!(model$target_col %in% colnames(X))) {
+        stop("'X' does not contain the target column")
+    }
+    y <- as.numeric(X[[model$target_col]] == model$pos_class)
+    list(X = model.matrix(model$formula, data = X), y = y)
+}
+
 #' Update the model with one batch (one optimizer iteration).
+#' With a formula model, `X` is a data.frame containing the target column
+#' and `y` must be omitted; with the matrix interface, `X` is a numeric
+#' matrix and `y` a 0/1 vector.
 #' @export
-partial_fit_logistic <- function(model, X, y, weights = NULL) {
+partial_fit_logistic <- function(model, X, y = NULL, weights = NULL) {
     if (!inherits(model, "stochastic_logistic_regression")) {
         stop("'model' must come from stochastic_logistic_regression()")
+    }
+    if (!is.null(model$formula)) {
+        if (!is.null(y)) stop("'y' is only used for non-formula models")
+        if (!is.data.frame(X)) {
+            stop("'X' must be a data.frame when using the formula interface")
+        }
+        if (is.null(model$optimizer)) init.formula(model, X)
+        b <- formula.batch(model, X)
+        partial_fit(model$optimizer, b$X, b$y, weights)
+        return(invisible(NULL))
     }
     X <- as.matrix(X)
     y <- as.numeric(y)
@@ -140,6 +280,12 @@ partial_fit_logistic <- function(model, X, y, weights = NULL) {
 coef.stochastic_logistic_regression <- function(object, ...) {
     if (is.null(object$optimizer)) stop("model not fitted yet")
     x <- get_curr_x(object$optimizer)
+    if (!is.null(object$formula)) {
+        # glm-style named column matrix (reference R/logistic.R:255-262)
+        out <- matrix(x, nrow = length(x))
+        rownames(out) <- object$colnames
+        return(out)
+    }
     if (object$intercept) {
         list(coefficients = x[-length(x)], intercept = x[length(x)])
     } else {
@@ -151,6 +297,24 @@ coef.stochastic_logistic_regression <- function(object, ...) {
 predict.stochastic_logistic_regression <- function(object, newdata,
                                                    type = "class", ...) {
     if (is.null(object$optimizer)) stop("model not fitted yet")
+    if (!(type %in% c("class", "prob"))) {
+        stop("'type' must be 'class' or 'prob'")
+    }
+    if (!is.null(object$formula)) {
+        nd <- chars.to.factors(as.data.frame(newdata))
+        nd <- pin.factor.levels(nd, object$factor_cols, object$factor_levs)
+        # predict must work without the target column: build the design
+        # from the RHS terms only when the response is absent
+        if (object$target_col %in% colnames(nd)) {
+            Xi <- model.matrix(object$formula, data = nd)
+        } else {
+            Xi <- model.matrix(stats::delete.response(
+                stats::terms(object$formula, data = nd)), data = nd)
+        }
+        p <- logistic_pred(Xi, get_curr_x(object$optimizer))
+        if (type == "prob") return(p)
+        return(ifelse(p >= 0.5, object$pos_class, object$neg_class))
+    }
     Xi <- with.intercept(as.matrix(newdata), object$intercept)
     p <- logistic_pred(Xi, get_curr_x(object$optimizer))
     if (type == "prob") p else as.numeric(p >= 0.5)
@@ -160,6 +324,10 @@ predict.stochastic_logistic_regression <- function(object, newdata,
 print.stochastic_logistic_regression <- function(x, ...) {
     cat("Stochastic logistic regression (stochqn.tpu)\n")
     cat(sprintf("optimizer: %s\n", x$opt_name))
+    if (!is.null(x$formula)) {
+        cat("formula: "); print(x$formula)
+        cat(sprintf("positive class: %s\n", x$pos_class))
+    }
     if (is.null(x$optimizer)) {
         cat("not fitted yet\n")
     } else {

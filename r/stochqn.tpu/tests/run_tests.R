@@ -128,4 +128,75 @@ for (b in batches) partial_fit(opt, Xi[b, , drop = FALSE], y[b])
 stopifnot(get_iteration_number(opt) == length(batches))
 stopifnot(length(get_curr_x(opt)) == d + 1)
 
+# ---- formula interface: factors, pos_class, data.frame predict ------------
+set.seed(7)
+nf <- 600
+df <- data.frame(
+    x1  = rnorm(nf),
+    x2  = rnorm(nf),
+    grp = sample(c("a", "b", "c"), nf, replace = TRUE),
+    stringsAsFactors = FALSE)
+lin <- 2.5 * df$x1 - 2.0 * df$x2 + c(a = 0, b = 1.5, c = -1.5)[df$grp]
+df$label <- factor(ifelse(1 / (1 + exp(-lin)) > runif(nf), "pos", "neg"))
+
+fmodel <- stochastic_logistic_regression(label ~ x1 + x2 + grp,
+                                         pos_class = "pos",
+                                         optimizer = "adaQN",
+                                         lambda = 1e-4,
+                                         initial_step = 1e-1)
+fbatches <- split(seq_len(nf), rep(1:10, length.out = nf))
+for (epoch in 1:10) {
+    for (b in fbatches) {
+        partial_fit_logistic(fmodel, df[b, , drop = FALSE])
+    }
+}
+# design columns: (Intercept), x1, x2, grpb, grpc — levels pinned
+cf <- coef(fmodel)
+stopifnot(is.matrix(cf), nrow(cf) == 5)
+stopifnot(identical(rownames(cf),
+                    c("(Intercept)", "x1", "x2", "grpb", "grpc")))
+pr <- predict(fmodel, df, type = "prob")
+stopifnot(all(pr >= 0 & pr <= 1))
+cls <- predict(fmodel, df, type = "class")
+stopifnot(all(cls %in% c("pos", "neg")))
+facc <- mean(cls == as.character(df$label))
+cat(sprintf("formula adaQN accuracy: %.3f\n", facc))
+stopifnot(facc > 0.80)
+# predict on new data WITHOUT the target column (delete.response path)
+nd <- df[1:5, c("x1", "x2", "grp")]
+stopifnot(length(predict(fmodel, nd, type = "prob")) == 5)
+# unseen factor level -> pinned to NA -> model.matrix drops the row
+nd2 <- df[1:4, c("x1", "x2", "grp")]
+nd2$grp[1] <- "zzz"
+stopifnot(length(predict(fmodel, nd2, type = "prob")) == 3)
+print(fmodel)
+
+# formula error paths
+res <- tryCatch(stochastic_logistic_regression(label ~ x1),
+                error = function(e) "err")  # pos_class missing
+stopifnot(identical(res, "err"))
+res <- tryCatch(partial_fit_logistic(fmodel, df, y = rep(0, nf)),
+                error = function(e) "err")  # y forbidden with formula
+stopifnot(identical(res, "err"))
+res <- tryCatch({
+    m <- stochastic_logistic_regression(label ~ x1, pos_class = "nope")
+    partial_fit_logistic(m, df)
+}, error = function(e) "err")               # pos_class not a level
+stopifnot(identical(res, "err"))
+res <- tryCatch({
+    m <- stochastic_logistic_regression(label ~ x1, pos_class = "pos")
+    partial_fit_logistic(m, as.matrix(df[, 1:2]))
+}, error = function(e) "err")               # matrix with formula model
+stopifnot(identical(res, "err"))
+
+# formula + adaQN validation set (val_data transformed at init)
+vmodel <- stochastic_logistic_regression(label ~ x1 + x2 + grp,
+                                         pos_class = "pos",
+                                         optimizer = "adaQN",
+                                         lambda = 1e-4,
+                                         initial_step = 1e-1,
+                                         val_data = list(X = df[1:100, ]))
+for (b in fbatches) partial_fit_logistic(vmodel, df[b, , drop = FALSE])
+stopifnot(get_iteration_number(vmodel$optimizer) == length(fbatches))
+
 cat("all R binding tests passed\n")

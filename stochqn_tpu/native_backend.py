@@ -82,6 +82,14 @@ def load_library() -> ctypes.CDLL:
         return lib
 
 
+def library_path() -> str:
+    """Path of the built shared library (building it on first use) — for
+    external consumers linking against the C ABI (native/include/
+    stochqn_native.h)."""
+    load_library()
+    return _LIB_PATH
+
+
 def native_available() -> bool:
     try:
         load_library()

@@ -1,0 +1,89 @@
+"""Static accounting of collective communication in compiled XLA programs.
+
+The reference has no distributed runtime to account for; here, where GSPMD
+inserts every collective, this module makes the inserted communication
+*auditable*: parse a compiled module's HLO text and report each
+collective's payload bytes and group size.  Used by the parallelism tests
+(``tests/test_parallel.py``) to lock per-step collective BYTE budgets —
+not just op counts — and by ``benchmarks/collective_bytes.py`` to feed the
+ICI roofline model in BENCH_NOTES.md / SCALING.json.
+
+Byte counts are the payload of the collective's result shape.  For an
+all-reduce of payload ``B`` over a ring of ``g`` devices, the per-chip
+ICI traffic is ``2 B (g-1)/g`` (reduce-scatter + all-gather phases), which
+the roofline model applies on top of these raw payloads.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import List
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
+    "c128": 16,
+}
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "all-to-all", "collective-permute")
+
+# `%name = <shape> all-reduce(...)` — shape may be a tuple.  `-start`
+# variants are the async forms; their `-done` halves carry no new payload.
+_OP_RE = re.compile(
+    r"=\s*(?P<shape>\([^)]*\)|\S+)\s+(?P<kind>"
+    + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+_SHAPE_RE = re.compile(r"(?P<dtype>[a-z]+\d*)\[(?P<dims>[\d,]*)\]")
+_GROUPS_RE = re.compile(r"replica_groups=\[(?P<ngroups>\d+),(?P<gsize>\d+)\]")
+
+
+@dataclasses.dataclass(frozen=True)
+class CollectiveOp:
+    kind: str          # all-reduce | all-gather | ...
+    payload_bytes: int  # bytes in the result shape
+    group_size: int     # devices participating (1 group's size; 0 if unknown)
+    line: str           # the HLO line, for diagnostics
+
+
+def _shape_bytes(shape: str) -> int:
+    total = 0
+    for m in _SHAPE_RE.finditer(shape):
+        nbytes = _DTYPE_BYTES.get(m.group("dtype"))
+        if nbytes is None:
+            continue
+        n = 1
+        dims = m.group("dims")
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * nbytes
+    return total
+
+
+def collective_ops(hlo_text: str) -> List[CollectiveOp]:
+    """All collective ops in an HLO module text (``compiled.as_text()``).
+
+    Each op is counted once per appearance in the text; ops inside a
+    ``while`` body therefore count once per loop *body*, not per
+    iteration — account for trip counts at the call site (the tests use
+    loop-free per-step programs so the static count IS the per-step
+    count).
+    """
+    ops = []
+    for line in hlo_text.splitlines():
+        m = _OP_RE.search(line)
+        if not m:
+            continue
+        g = _GROUPS_RE.search(line)
+        ops.append(CollectiveOp(
+            kind=m.group("kind"),
+            payload_bytes=_shape_bytes(m.group("shape")),
+            group_size=int(g.group("gsize")) if g else 0,
+            line=line.strip()))
+    return ops
+
+
+def collective_bytes(hlo_text: str) -> int:
+    """Total collective payload bytes in the module (see
+    :func:`collective_ops` for the per-appearance semantics)."""
+    return sum(op.payload_bytes for op in collective_ops(hlo_text))

@@ -203,3 +203,57 @@ def test_native_cpp_example_builds_and_converges(tmp_path):
     out = subprocess.run([str(exe)], capture_output=True, text=True)
     assert out.returncode == 0, out.stdout + out.stderr
     assert "CONVERGED" in out.stdout
+
+
+def test_native_c_example_builds_and_converges(tmp_path):
+    """Compile the pure-C ABI consumer (native/examples/c_rosen.c, the
+    counterpart of the reference's example/c_rosen.c) with a C compiler
+    against the shared library the ctypes backend loads, and run it."""
+    import os
+    import subprocess
+
+    from stochqn_tpu import native_backend
+
+    lib = native_backend.library_path()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    exe = tmp_path / "c_rosen"
+    subprocess.run(
+        ["cc", "-O2", "-std=c99",
+         f"-I{repo}/native/include",
+         f"{repo}/native/examples/c_rosen.c", str(lib), "-lm",
+         "-o", str(exe)],
+        check=True, capture_output=True)
+    out = subprocess.run([str(exe)], capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "iterations" in out.stdout
+
+
+def test_native_cmake_install_uninstall_and_pkgconfig(tmp_path):
+    """The CMake last-mile (counterpart of the reference's
+    CMakeLists.txt:89-107): configure + build + ctest (both examples),
+    install to a prefix with a pkg-config file, uninstall removes
+    everything."""
+    import os
+    import shutil
+    import subprocess
+
+    if shutil.which("cmake") is None:
+        pytest.skip("no cmake")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    build = tmp_path / "build"
+    prefix = tmp_path / "prefix"
+    run = lambda *cmd: subprocess.run(
+        list(cmd), check=True, capture_output=True, text=True, cwd=repo)
+    run("cmake", "-S", "native", "-B", str(build),
+        f"-DCMAKE_INSTALL_PREFIX={prefix}")
+    run("cmake", "--build", str(build), "--parallel", "2")
+    subprocess.run(["ctest", "--output-on-failure"], check=True,
+                   capture_output=True, cwd=build)
+    run("cmake", "--build", str(build), "--target", "install")
+    pc = prefix / "lib" / "pkgconfig" / "stochqn_native.pc"
+    assert pc.exists()
+    assert "-lstochqn_native" in pc.read_text()
+    assert (prefix / "include" / "stochqn_native.h").exists()
+    run("cmake", "--build", str(build), "--target", "uninstall")
+    leftovers = [p for p in prefix.rglob("*") if p.is_file()]
+    assert not leftovers, leftovers

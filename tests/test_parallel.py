@@ -177,3 +177,154 @@ def test_param_sharded_adaqn_coupling_psum_counts(rng):
                             or hlo.count("all-reduce("))
     # both stay O(1); gram must not need more collectives than matvec
     assert counts["gram"] <= counts["matvec"] <= 4, counts
+
+
+# ===========================================================================
+# Per-step collective BYTE budgets (the quantity the ICI roofline needs)
+# ===========================================================================
+# Each test compiles a loop-free per-step (or per-boundary) program under
+# one of the dryrun topologies and asserts the total collective payload —
+# parsed from the compiled HLO by parallel.hlo_stats — against a closed-form
+# budget.  HLO shapes are per-device shards, so the bytes measured here are
+# exactly what rides the interconnect per device.
+from stochqn_tpu.parallel import collective_bytes, collective_ops  # noqa: E402
+
+
+def _quad_trainer(rng, n, optimizer="SQN", m=3, L=4, **cfg_kw):
+    from stochqn_tpu.core.config import AdaQNConfig, OLBFGSConfig
+    a_diag = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    def grad_fn(x, batch):
+        return a_diag * (x - jnp.mean(batch, axis=0))
+
+    def obj_fn(x, batch):
+        r = x - jnp.mean(batch, axis=0)
+        return 0.5 * jnp.vdot(r, a_diag * r)
+
+    if optimizer == "SQN":
+        cfg = SQNConfig.create(mem_size=m, bfgs_upd_freq=L, **cfg_kw)
+    elif optimizer == "adaQN":
+        cfg = AdaQNConfig.create(mem_size=m, bfgs_upd_freq=L, **cfg_kw)
+    else:
+        cfg = OLBFGSConfig.create(mem_size=m, **cfg_kw)
+    return FusedTrainer(optimizer, cfg, grad_fn, obj_fn=obj_fn)
+
+
+def _warm_state(trainer, mesh, n, bs, rng):
+    """A committed-pairs state placed on the mesh (so the two-loop's
+    direction path, not the empty-memory fallback, is what compiles)."""
+    data = jnp.asarray(
+        rng.standard_normal((4, bs, n)).astype(np.float32))
+    state = trainer.init(jnp.zeros(n, jnp.float32))
+    state, _ = trainer.epoch(state, data, 0.05)
+    return shard_state(state, mesh)
+
+
+def test_collective_bytes_data_parallel_step(rng):
+    """Pure DP (8 data x 1 param): the ONLY per-step collective is the
+    gradient all-reduce — exactly n*4 payload bytes, group size 8."""
+    import functools
+    from stochqn_tpu.fused import _sqn_base
+
+    n, bs = 512, 16
+    mesh = make_mesh(n_data=8, n_param=1)
+    trainer = _quad_trainer(rng, n)
+    state = _warm_state(trainer, mesh, n, bs, rng)
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+
+    fn = jax.jit(functools.partial(_sqn_base, trainer.cfg, trainer.grad_fn))
+    hlo = fn.lower(state, batch, jnp.float32(0.05)).compile().as_text()
+    ops = collective_ops(hlo)
+    total = sum(op.payload_bytes for op in ops)
+    assert n * 4 <= total <= n * 4 + 256, (total, [
+        (o.kind, o.payload_bytes) for o in ops])
+    assert all(op.group_size in (0, 8) for op in ops), ops
+
+
+def test_collective_bytes_param_only_adaqn_step(rng):
+    """Param-only (1 x 8): the per-step collectives are the two-loop's
+    small-quantity psums — O(m) bytes, INDEPENDENT of n.  The [n]-sized
+    tensors (x, grad, direction, Fisher rows) never cross the mesh."""
+    import functools
+    from stochqn_tpu.fused import _adaqn_base
+
+    n, bs, m = 4096, 8, 3
+    mesh = make_mesh(n_data=1, n_param=8)
+    trainer = _quad_trainer(rng, n, optimizer="adaQN", m=m,
+                            fisher_size=4, max_incr=1.01,
+                            rmsprop_weight=0.9)
+    state = _warm_state(trainer, mesh, n, bs, rng)
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "param")))
+
+    fn = jax.jit(functools.partial(_adaqn_base, trainer.cfg,
+                                   trainer.grad_fn))
+    hlo = fn.lower(state, batch, jnp.float32(0.05)).compile().as_text()
+    ops = collective_ops(hlo)
+    total = sum(op.payload_bytes for op in ops)
+    # wg [2m] + coupling y_r0 [m] + guard/curvature scalars, NOT O(n):
+    assert 0 < total <= 1024, (total, [(o.kind, o.payload_bytes)
+                                       for o in ops])
+    assert total < n, "param-sharded step moved O(n) bytes"
+
+
+def test_collective_bytes_mixed_mesh_sqn_round(rng):
+    """(4 data x 2 param): per-step = one all-reduce of the gradient
+    SHARD (n/2 * 4 bytes) + O(m^2) small psums; the every-L boundary adds
+    the jvp's two gradient-shard reductions + the commit's curvature /
+    Gram-insert psums.  Budgets hold per phase."""
+    import functools
+    from stochqn_tpu.fused import _sqn_base, _sqn_boundary
+
+    n, bs, m, L, p = 512, 16, 3, 4, 2
+    mesh = make_mesh(n_data=4, n_param=p)
+    trainer = _quad_trainer(rng, n, m=m, L=L)
+    state = _warm_state(trainer, mesh, n, bs, rng)
+    spec = jax.sharding.PartitionSpec("data", "param")
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, spec))
+
+    shard_bytes = n * 4 // p
+    fn = jax.jit(functools.partial(_sqn_base, trainer.cfg, trainer.grad_fn))
+    hlo = fn.lower(state, batch, jnp.float32(0.05)).compile().as_text()
+    step_total = collective_bytes(hlo)
+    assert shard_bytes <= step_total <= shard_bytes + 1024, step_total
+
+    big = jax.device_put(
+        jnp.asarray(rng.standard_normal((L * bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, spec))
+    bfn = jax.jit(functools.partial(_sqn_boundary, trainer.cfg,
+                                    trainer.grad_fn))
+    bhlo = bfn.lower(state, big, jnp.zeros((), bool)).compile().as_text()
+    btotal = collective_bytes(bhlo)
+    # jvp primal+tangent gradient shards + commit smalls
+    assert btotal <= 2 * shard_bytes + 4096, btotal
+
+
+def test_collective_bytes_olbfgs_step_mixed_mesh(rng):
+    """oLBFGS on (4 data x 2 param): every iteration runs TWO gradient
+    all-reduces (calc_grad + same-batch grad) plus the per-iteration
+    commit's curvature and incremental-Gram psums — still bounded by
+    2 gradient shards + O(m) small payloads."""
+    import functools
+    from stochqn_tpu.fused import olbfgs_step
+
+    n, bs, m, p = 512, 16, 3, 2
+    mesh = make_mesh(n_data=4, n_param=p)
+    trainer = _quad_trainer(rng, n, optimizer="oLBFGS", m=m,
+                            min_curvature=1e-8)
+    state = _warm_state(trainer, mesh, n, bs, rng)
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data", "param")))
+
+    fn = jax.jit(functools.partial(olbfgs_step, trainer.cfg,
+                                   trainer.grad_fn))
+    hlo = fn.lower(state, batch, jnp.float32(0.05)).compile().as_text()
+    total = collective_bytes(hlo)
+    shard_bytes = n * 4 // p
+    assert 2 * shard_bytes <= total <= 2 * shard_bytes + 4096, total
