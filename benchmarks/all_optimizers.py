@@ -57,6 +57,16 @@ def main():
                                         bfgs_upd_freq=L, rmsprop_weight=0.9,
                                         use_pallas=True), grad_fn,
             obj_fn=obj_fn),
+        "adaQN (fisher bf16)": FusedTrainer(
+            "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=100,
+                                        bfgs_upd_freq=L, rmsprop_weight=0.9,
+                                        fisher_bf16=True), grad_fn,
+            obj_fn=obj_fn),
+        "adaQN (fisher_size=4)": FusedTrainer(
+            "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=4,
+                                        bfgs_upd_freq=L,
+                                        rmsprop_weight=0.9), grad_fn,
+            obj_fn=obj_fn),
     }
     for name, tr in variants.items():
         state = tr.init(x0)

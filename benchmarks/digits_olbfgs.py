@@ -156,41 +156,60 @@ def drive_protocol(engine, X, y, epochs):
                     break
 
 
-def measure_protocol(name, make_engine, X, y, x0):
-    n = x0.shape[0]
-    engine = make_engine(n, x0)
-    drive_protocol(engine, X, y, 1)  # warmup (BLAS/thread spinup)
-    engine.close()
-    reps = []
-    for _ in range(N_REPS):
-        engine = make_engine(n, x0)
-        t0 = time.perf_counter()
-        drive_protocol(engine, X, y, EPOCHS_PER_REP)
-        dt = time.perf_counter() - t0
-        reps.append(EPOCHS_PER_REP * NUM_BATCHES / dt)
-        acc = accuracy(engine.x, X, y)
-        engine.close()
-
-    # time-to-target: discover epochs needed (untimed checks), then time
-    engine = make_engine(n, x0)
-    epochs_needed = 0
-    for _ in range(50):
-        drive_protocol(engine, X, y, 1)
-        epochs_needed += 1
-        if accuracy(engine.x, X, y) >= TARGET_ACC:
-            break
-    engine.close()
-    engine = make_engine(n, x0)
+def _timed_rep(make_engine, X, y, x0):
+    engine = make_engine(x0.shape[0], x0)
     t0 = time.perf_counter()
-    drive_protocol(engine, X, y, epochs_needed)
-    ttt = time.perf_counter() - t0
-    assert accuracy(engine.x, X, y) >= TARGET_ACC
+    drive_protocol(engine, X, y, EPOCHS_PER_REP)
+    dt = time.perf_counter() - t0
+    acc = accuracy(engine.x, X, y)
     engine.close()
-    return {"engine": name, "iters_per_s": round(statistics.median(reps), 1),
-            "reps": [round(r, 1) for r in reps],
-            "final_acc": round(acc, 4),
+    return EPOCHS_PER_REP * NUM_BATCHES / dt, acc
+
+
+def measure_protocols(engines, X, y, x0):
+    """Measure all protocol engines with INTERLEAVED repetitions: timing
+    one engine's reps back-to-back and then the other's hands whichever
+    runs first/last a different host state (CPU frequency, cache, ambient
+    load) — observed as a spurious ~2x swing on this machine.  Rep k of
+    every engine runs adjacent in time instead."""
+    n = x0.shape[0]
+    for name, mk in engines:            # warmup (BLAS/thread spinup)
+        eng = mk(n, x0)
+        drive_protocol(eng, X, y, 1)
+        eng.close()
+    reps = {name: [] for name, _ in engines}
+    accs = {}
+    for _ in range(N_REPS):
+        for name, mk in engines:
+            ips, acc = _timed_rep(mk, X, y, x0)
+            reps[name].append(ips)
+            accs[name] = acc
+
+    rows = []
+    for name, mk in engines:
+        # time-to-target: discover epochs needed (untimed), then time
+        engine = mk(n, x0)
+        epochs_needed = 0
+        for _ in range(50):
+            drive_protocol(engine, X, y, 1)
+            epochs_needed += 1
+            if accuracy(engine.x, X, y) >= TARGET_ACC:
+                break
+        engine.close()
+        engine = mk(n, x0)
+        t0 = time.perf_counter()
+        drive_protocol(engine, X, y, epochs_needed)
+        ttt = time.perf_counter() - t0
+        assert accuracy(engine.x, X, y) >= TARGET_ACC
+        engine.close()
+        rows.append({
+            "engine": name,
+            "iters_per_s": round(statistics.median(reps[name]), 1),
+            "reps": [round(r, 1) for r in reps[name]],
+            "final_acc": round(accs[name], 4),
             "epochs_to_target": epochs_needed,
-            "s_to_target": round(ttt, 4)}
+            "s_to_target": round(ttt, 4)})
+    return rows
 
 
 # --------------------------------------------------------------------------
@@ -270,10 +289,9 @@ def main():
     rng = np.random.default_rng(1)
     x0 = (rng.standard_normal(X.shape[1] + 1) * 0.1).astype(np.float32)
 
-    rows = [
-        measure_protocol("reference C (f32)", RefOLBFGS, X, y, x0),
-        measure_protocol("native C++ (f32)", NativeOLBFGSLoop, X, y, x0),
-    ]
+    rows = measure_protocols(
+        [("reference C (f32)", RefOLBFGS),
+         ("native C++ (f32)", NativeOLBFGSLoop)], X, y, x0)
     if not args.skip_tpu:
         rows.append(measure_fused(X, y, x0))
     print(json.dumps({"workload": "digits binary oLBFGS (BASELINE config 1)",

@@ -163,6 +163,28 @@ class FisherMemory:
             count=jnp.minimum(self.count + 1, size),
         )
 
+    def append_block(self, grads: jax.Array) -> "FisherMemory":
+        """Append ``grads [k, n]`` in order — identical to ``k`` successive
+        :meth:`append` calls, as one scatter.
+
+        The fused engine's round layout uses this to keep the per-step scan
+        body free of ring writes: the ring's only consumer is the boundary
+        Fisher product, so the round's gradients can land in one batched
+        insert there (measured: the per-step append dominated adaQN's
+        step cost — see BENCH_NOTES "adaQN op budget").
+        """
+        size = self.f.shape[0]
+        k = grads.shape[0]
+        keep = min(k, size)          # only the last `size` rows can survive
+        rows = grads[k - keep:].astype(self.f.dtype)
+        slots = jnp.mod(self.head + (k - keep)
+                        + jnp.arange(keep, dtype=jnp.int32), size)
+        return self.replace(
+            f=self.f.at[slots].set(rows),
+            head=jnp.mod(self.head + k, size).astype(jnp.int32),
+            count=jnp.minimum(self.count + k, size).astype(jnp.int32),
+        )
+
 
 @struct.dataclass
 class OLBFGSState:

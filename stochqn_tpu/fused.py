@@ -113,7 +113,13 @@ def olbfgs_step(cfg: OLBFGSConfig, grad_fn: GradFn, state: OLBFGSState,
                                       cfg.y_reg,
                                       enabled=jnp.logical_not(bad))
 
-    state = state.replace(x=x_new, mem=mem_final, grad_prev=g,
+    # grad_prev and s_pending are dead across fused steps (the pair is
+    # built within the step), and at any protocol resume point
+    # (section 1) both are rewritten before being read — so they stay
+    # PASS-THROUGH in the scan carry: every avoided [n]-buffer mutation
+    # in the hot body is a measured win (BENCH_NOTES "adaQN op budget").
+    mem_final = mem_final.replace(s_pending=state.mem.s_pending)
+    state = state.replace(x=x_new, mem=mem_final,
                           niter=state.niter + 1,
                           section=jnp.int32(1))
     return state, _info(bad, jnp.where(bad, True, accepted))
@@ -175,8 +181,11 @@ def _olbfgs_epoch_paired(cfg: OLBFGSConfig, grad_fn: GradFn, state,
                else jnp.zeros((), bool))
         s_cand = -step_size * d
         x_new = jnp.where(bad, st.x, st.x + s_cand)
+        # s_pending IS live across paired steps (next step's deferred
+        # commit reads it); grad_prev is not (the pending gradient rides
+        # the explicit carry) and stays pass-through like in olbfgs_step
         mem = conditional_flush(mem.replace(s_pending=s_cand), bad)
-        st = st.replace(x=x_new, mem=mem, grad_prev=g,
+        st = st.replace(x=x_new, mem=mem,
                         niter=st.niter + 1, section=jnp.int32(1))
         return (st, g, jnp.logical_not(bad)), (bad, acc_prev)
 
@@ -274,11 +283,20 @@ def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
 # adaQN
 # ===========================================================================
 def _adaqn_base(cfg: AdaQNConfig, grad_fn: GradFn, state: AdaQNState,
-                batch: Batch, step_size) -> Tuple[AdaQNState, jax.Array]:
+                batch: Batch, step_size, append_fisher: bool = True
+                ) -> Tuple[AdaQNState, jax.Array, jax.Array]:
     """Per-iteration adaQN work before any boundary
-    (``src/stochqn.c:1170-1197``)."""
+    (``src/stochqn.c:1170-1197``).  Returns ``(state, bad, grad)``.
+
+    ``append_fisher=False`` skips the per-step Fisher ring write; the
+    caller then owes the ring the step's gradient (the round layout
+    inserts the whole round's gradients in one ``append_block`` at the
+    boundary — the ring's only consumer).  Keeping the ring write out of
+    the hot scan body is a measured ~2x step-cost win: a third mutated
+    [.., n] buffer in the scan carry pushes the pair memory out of the
+    residency sweet spot (BENCH_NOTES "adaQN op budget")."""
     g = grad_fn(state.x, batch)
-    if not cfg.use_grad_diff:
+    if not cfg.use_grad_diff and append_fisher:
         state = state.replace(fisher=state.fisher.append(g))
 
     rescaled, acc_sq = diag_rescal(g, state.grad_sum_sq, cfg.scal_reg,
@@ -299,7 +317,7 @@ def _adaqn_base(cfg: AdaQNConfig, grad_fn: GradFn, state: AdaQNState,
     state = state.replace(x=x_new, mem=mem, grad_sum_sq=acc_sq,
                           niter=state.niter + 1,
                           x_sum=state.x_sum + x_new, section=jnp.int32(1))
-    return state, bad
+    return state, bad, g
 
 
 def _adaqn_boundary(cfg: AdaQNConfig, grad_fn: GradFn,
@@ -380,7 +398,7 @@ def adaqn_step(cfg: AdaQNConfig, grad_fn: GradFn, obj_fn: Optional[ObjFn],
     if cfg.max_incr > 0 and obj_fn is None:
         raise ValueError("adaQN with max_incr needs an objective function")
     step_size = jnp.asarray(step_size, state.x.dtype)
-    state, bad = _adaqn_base(cfg, grad_fn, state, batch, step_size)
+    state, bad, _ = _adaqn_base(cfg, grad_fn, state, batch, step_size)
     return jax.lax.cond(
         jnp.mod(state.niter, cfg.upd_freq) == 0,
         lambda st: _adaqn_boundary(cfg, grad_fn, obj_fn, st,
@@ -559,11 +577,23 @@ class FusedTrainer:
                                 unroll=self.unroll)
 
         L = jax.tree_util.tree_leaves(round_data)[0].shape[0]
-        base = _sqn_base if self.optimizer == "SQN" else _adaqn_base
 
-        def inner(st2, batch):
-            st2, bad = base(self.cfg, self.grad_fn, st2, batch, step_size)
-            return st2, bad
+        if self.optimizer == "SQN":
+            def inner(st2, batch):
+                st2, bad = _sqn_base(self.cfg, self.grad_fn, st2, batch,
+                                     step_size)
+                return st2, bad
+        else:
+            # The per-step Fisher ring write costs ~23 us/step, but
+            # DEFERRING it (emit g as a scan output, one append_block at
+            # the boundary) measures WORSE (95 vs 81 us/step): stacking
+            # an [n] output per step is more expensive than the in-place
+            # ring write.  Measured both ways — the per-step append
+            # stays (BENCH_NOTES "adaQN op budget").
+            def inner(st2, batch):
+                st2, bad, _g = _adaqn_base(self.cfg, self.grad_fn, st2,
+                                           batch, step_size)
+                return st2, bad
 
         st, bads = jax.lax.scan(inner, state, round_data,
                                 unroll=self.unroll)

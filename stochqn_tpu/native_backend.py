@@ -169,6 +169,16 @@ class _NativeBase:
         self._info = ctypes.c_int(0)
         self._changed = ctypes.c_int(0)
         self._niter = ctypes.c_long(0)
+        # Everything a run() call needs, bound ONCE: at small n the
+        # optimizer math is microseconds, so per-call Python work
+        # (getattr, f-strings, pointer/byref construction) is a measured
+        # slice of the digits-config gap vs the reference C core
+        # (BENCH_NOTES small-n table).  Buffers never reallocate after
+        # start(), so the cached pointers stay valid.
+        self._run_fn = self._fn("run")
+        self._out_refs = (ctypes.byref(self._info),
+                          ctypes.byref(self._changed),
+                          ctypes.byref(self._niter))
 
     def _ptr(self, arr):
         return arr.ctypes.data_as(ctypes.POINTER(self._real))
@@ -204,13 +214,13 @@ class NativeOLBFGS(_NativeBase):
             self._real(y_reg), check_nan)
         if not self._handle:
             raise ValueError("invalid native optimizer parameters")
+        self._run_args = (self._handle, self._n, self._ptr(self.x),
+                          self._ptr(self.gradient), self._ptr(self.req_out))
 
     def run(self, step_size):
-        task = self._fn("run")(
-            self._handle, self._n, self._real(step_size), self._ptr(self.x),
-            self._ptr(self.gradient), self._ptr(self.req_out),
-            ctypes.byref(self._info), ctypes.byref(self._changed),
-            ctypes.byref(self._niter))
+        h, n, xp, gp, rp = self._run_args
+        task = self._run_fn(h, n, self._real(step_size), xp, gp, rp,
+                            *self._out_refs)
         return (task, self._info.value, bool(self._changed.value),
                 self.req_out, None)
 
@@ -236,14 +246,15 @@ class NativeSQN(_NativeBase):
             self._n, mem, upd, self._real(mc), self._real(yr), ugd, cn)
         if not self._handle:
             raise ValueError("invalid native optimizer parameters")
+        self._run_args = (self._handle, self._n, self._ptr(self.x),
+                          self._ptr(self.gradient), self._ptr(self.hess_vec),
+                          self._ptr(self.req_out),
+                          self._ptr(self.req_vec_out))
 
     def run(self, step_size):
-        task = self._fn("run")(
-            self._handle, self._n, self._real(step_size), self._ptr(self.x),
-            self._ptr(self.gradient), self._ptr(self.hess_vec),
-            self._ptr(self.req_out), self._ptr(self.req_vec_out),
-            ctypes.byref(self._info), ctypes.byref(self._changed),
-            ctypes.byref(self._niter))
+        h, n, xp, gp, hp, rp, rvp = self._run_args
+        task = self._run_fn(h, n, self._real(step_size), xp, gp, hp, rp,
+                            rvp, *self._out_refs)
         return (task, self._info.value, bool(self._changed.value),
                 self.req_out, self.req_vec_out)
 
@@ -272,12 +283,12 @@ class NativeAdaQN(_NativeBase):
             self._real(sr), self._real(rw), self._real(yr), ugd, cn, h0ref)
         if not self._handle:
             raise ValueError("invalid native optimizer parameters")
+        self._run_args = (self._handle, self._n, self._ptr(self.x),
+                          self._ptr(self.gradient), self._ptr(self.req_out))
 
     def run(self, step_size):
-        task = self._fn("run")(
-            self._handle, self._n, self._real(step_size), self._ptr(self.x),
-            self._ptr(self.gradient), self._real(self.f),
-            self._ptr(self.req_out), ctypes.byref(self._info),
-            ctypes.byref(self._changed), ctypes.byref(self._niter))
+        h, n, xp, gp, rp = self._run_args
+        task = self._run_fn(h, n, self._real(step_size), xp, gp,
+                            self._real(self.f), rp, *self._out_refs)
         return (task, self._info.value, bool(self._changed.value),
                 self.req_out, None)

@@ -284,3 +284,25 @@ def test_nan_gradient_rejection_matches_oracle(rng):
         req = opt.run_optimizer(x_j, 0.05)
         t_o, i_o, _ = oracle.run(x_o, 0.05, grad=g_o)
     assert saw_nan
+
+
+def test_fisher_append_block_matches_successive_appends(rng):
+    """``FisherMemory.append_block(g[k])`` == k successive ``append``s,
+    including ring wrap-around (k > fisher_size) and partial fills."""
+    import jax.numpy as jnp
+    from stochqn_tpu.core.state import FisherMemory
+
+    n, size = 7, 4
+    for k, pre in ((2, 0), (4, 3), (6, 1), (9, 2)):
+        grads = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+        pre_grads = jnp.asarray(rng.standard_normal((pre, n)), jnp.float32)
+        seq = blk = FisherMemory.create(size, n, jnp.float32)
+        for g in pre_grads:
+            seq = seq.append(g)
+            blk = blk.append(g)
+        for g in grads:
+            seq = seq.append(g)
+        blk = blk.append_block(grads)
+        np.testing.assert_array_equal(np.asarray(seq.f), np.asarray(blk.f))
+        assert int(seq.head) == int(blk.head)
+        assert int(seq.count) == int(blk.count)

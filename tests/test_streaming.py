@@ -1,4 +1,6 @@
 """Streaming ingestion: stream_rounds == fused epoch == protocol."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -101,6 +103,52 @@ def test_parse_extreme_classification(tmp_path):
     np.testing.assert_array_equal(X.toarray(), dense)
     np.testing.assert_array_equal(
         Y, [[1, 0, 1], [0, 0, 0], [0, 1, 0], [1, 1, 1]])
+
+
+def test_xc_loader_to_optimizer_second_shape(tmp_path):
+    """End-to-end: an Extreme-Classification file at a NON-BibTeX shape
+    (23 features, 5 labels) through the parser into the multinomial
+    pipeline the BibTeX benchmark uses (`benchmarks/bibtex_convergence.py
+    --data`), so the real-data path stays exercised at more than one
+    shape while the true dataset is unreachable (zero egress)."""
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from benchmarks.bibtex_convergence import grad_fun, obj_fun
+    from stochqn_tpu.guided import adaQN
+    from stochqn_tpu.utils.data import parse_extreme_classification
+
+    rng = np.random.default_rng(5)
+    n, d, labels = 60, 23, 5
+    lines = [f"{n} {d} {labels}"]
+    for i in range(n):
+        labs = ",".join(str(v) for v in sorted(
+            rng.choice(labels, size=rng.integers(1, 3), replace=False)))
+        feats = sorted(rng.choice(d, size=rng.integers(3, 8),
+                                  replace=False))
+        toks = " ".join(f"{f}:{rng.integers(1, 3)}" for f in feats)
+        lines.append(f"{labs} {toks}")
+    p = tmp_path / "second_shape.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    X, Y = parse_extreme_classification(p)
+    assert X.shape == (n, d) and Y.shape == (n, labels)
+    Xd = np.asarray(X.todense(), np.float64)
+    Yd = np.asarray(Y, np.float64)
+
+    w0 = np.random.default_rng(1).normal(size=(d + 1) * labels)
+    opt = adaQN(x0=w0.copy(), grad_fun=grad_fun, obj_fun=obj_fun,
+                step_size=1e-1, decr_step_size=None, rmsprop_weight=0.9,
+                verbose=False)
+    kw = {"reg_param": 1e-1}
+    f0 = obj_fun(w0, Xd, Yd, **kw)
+    for epoch in range(6):
+        for i in range(0, n, 20):
+            opt.partial_fit(Xd[i:i + 20], Yd[i:i + 20],
+                            additional_kwargs=kw)
+    f1 = obj_fun(opt.x, Xd, Yd, **kw)
+    assert f1 < f0, (f0, f1)
 
 
 def test_parse_extreme_classification_headerless(tmp_path):
