@@ -79,7 +79,13 @@ STEP = 1e-2
 DTYPE = jnp.float32
 
 N_REPS = 7
-EPOCHS_PER_REP = 5
+# Long reps: the tunnel charges a fixed ~20-45 ms round trip per rep's
+# terminal D2H read, which at 5 epochs/rep (600 steps) diluted the
+# reported rate by ~50 us/step (round-3 structure probe: the device
+# steady state is ~45 us/step while 5-epoch reps reported ~94).  The
+# reference baseline pays no such round trip, so amortizing ours over
+# 2,400 steps/rep is the like-for-like accounting.
+EPOCHS_PER_REP = 20
 
 # -- speed-of-light constants for the chip this bench runs on -------------- #
 PEAKS = {
@@ -177,7 +183,10 @@ def main():
             ref = json.load(f)
         measured = (ref.get("reference_sqn_bibtex_iters_per_s_f32")
                     or ref.get("reference_sqn_bibtex_iters_per_s"))
-        if measured:
+        # the reference measurement swings ~1.5x with host load; taking
+        # the MAX of (fresh measurement, best ever recorded) keeps the
+        # reported ratio a floor rather than a lucky-day number
+        if measured and measured > ref_ips:
             ref_ips = measured
             baseline_source = "measured (BASELINE_MEASURED.json)"
     vs_baseline = med / ref_ips
@@ -187,6 +196,10 @@ def main():
     peak_flops, peak_bw = PEAKS.get(kind, (197e12, 819e9))
     tflops = med * flops_per_iter / 1e12
     mfu_pct = 100.0 * med * flops_per_iter / peak_flops
+    # modeled-traffic rate vs HBM peak: >100% means XLA parked the
+    # loop-invariant pair memory in VMEM (it does at this n — BENCH_NOTES
+    # kernel-study finding 1), so part of the modeled bytes never touch
+    # HBM and the engine runs past the HBM roofline
     hbm_util_pct = 100.0 * med * bytes_per_iter / peak_bw
 
     print(json.dumps({
@@ -204,6 +217,8 @@ def main():
         "hbm_bytes_per_iter": int(bytes_per_iter),
         "baseline_iters_per_s_f32": round(ref_ips, 1),
         "baseline_source": baseline_source,
+        "note": ("hbm_util_pct is modeled traffic vs HBM peak; >100% = "
+                 "the pair memory is VMEM-resident at this n"),
     }))
 
 
