@@ -70,7 +70,7 @@ def main():
     }
     for name, tr in variants.items():
         state = tr.init(x0)
-        ep = jax.jit(tr.epoch, static_argnames=("aligned",))
+        ep = tr.jit_epoch()
         eta = jnp.float32(1e-2 if "adaQN" not in name else 1e-1)
         # two warmup epochs (the second warms steady-state caches — see
         # bench.py), then the MEDIAN of repeated multi-epoch timings like
@@ -79,12 +79,14 @@ def main():
             state, _ = ep(state, (X, Y), eta, aligned=True)
         float(jnp.sum(state.x))  # D2H barrier (see bench.py)
         reps = []
+        # 20-epoch reps: a fixed ~30 ms tunnel round trip per rep's D2H
+        # otherwise dilutes the rate by ~10-50 us/step (see bench.py)
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(5):
+            for _ in range(20):
                 state, _ = ep(state, (X, Y), eta, aligned=True)
             float(jnp.sum(state.x))  # D2H barrier (see bench.py)
-            reps.append((time.perf_counter() - t0) / 5)
+            reps.append((time.perf_counter() - t0) / 20)
         dt = statistics.median(reps)
         ok = bool(jnp.all(jnp.isfinite(state.x)))
         print(f"{name:26s} {B/dt:9.0f} iters/s  ({dt*1e3:6.2f} ms/epoch, "

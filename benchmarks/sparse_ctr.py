@@ -59,8 +59,8 @@ K_ACTIVE = 40          # 39 padded to the bucket multiple
 BATCH = 512
 UPD_FREQ = 8
 NUM_ROUNDS = 6         # batches per timed epoch = UPD_FREQ * NUM_ROUNDS
-EPOCHS = 5
-REPS = 5
+EPOCHS = 20     # long reps amortize the fixed ~30 ms tunnel round trip
+REPS = 5        # per rep's terminal D2H (see bench.py)
 MEM = 10
 
 
