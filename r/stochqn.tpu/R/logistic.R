@@ -120,9 +120,12 @@ stochastic_logistic_regression <- function(formula = NULL, pos_class = NULL,
             !is.character(pos_class)) {
             stop("with 'formula', 'pos_class' must be a single string")
         }
+        if (!is.null(x0) || !is.null(dim)) {
+            stop("'x0'/'dim' are incompatible with 'formula': the design ",
+                 "size (and coefficient init) comes from the first batch")
+        }
         model$formula   <- formula
         model$pos_class <- pos_class
-        dim <- NULL; x0 <- NULL        # design size comes from the data
         intercept <- FALSE             # model.matrix supplies the column
     }
     model$intercept <- check.flag(intercept, "intercept")
@@ -224,14 +227,27 @@ init.formula <- function(model, X) {
         if (!(target %in% colnames(xv))) {
             stop("'X' in 'val_data' does not contain the target column")
         }
-        model$val_data$y <- as.numeric(xv[[target]] == model$pos_class)
-        model$val_data$X <- model.matrix(model$formula, data = xv)
+        # one model.frame keeps y/w aligned with NA-dropped design rows
+        # (see formula.batch)
+        mfv <- stats::model.frame(model$formula, data = xv,
+                                  na.action = stats::na.omit)
+        model$val_data$y <- as.numeric(
+            stats::model.response(mfv) == model$pos_class)
+        droppedv <- attr(mfv, "na.action")
+        if (!is.null(model$val_data$w) && !is.null(droppedv)) {
+            model$val_data$w <- model$val_data$w[-as.integer(droppedv)]
+        }
+        model$val_data$X <- model.matrix(model$formula, data = mfv)
     }
     build.optimizer(model)
 }
 
-# data.frame batch -> (design matrix, 0/1 target) under the pinned levels
-formula.batch <- function(model, X) {
+# data.frame batch -> (design matrix, 0/1 target, weights) under the
+# pinned levels.  Built from ONE model.frame so rows that model.matrix
+# drops (NA predictors, unseen-then-pinned-to-NA factor levels) are
+# dropped from y and weights too — computing y from the raw data.frame
+# would silently misalign it against the design matrix.
+formula.batch <- function(model, X, weights = NULL) {
     if (!is.data.frame(X)) {
         stop("'X' must be a data.frame when using the formula interface")
     }
@@ -240,8 +256,18 @@ formula.batch <- function(model, X) {
     if (!(model$target_col %in% colnames(X))) {
         stop("'X' does not contain the target column")
     }
-    y <- as.numeric(X[[model$target_col]] == model$pos_class)
-    list(X = model.matrix(model$formula, data = X), y = y)
+    mf <- stats::model.frame(model$formula, data = X,
+                             na.action = stats::na.omit)
+    if (nrow(mf) == 0) {
+        stop("batch has no usable rows after dropping NAs / unseen ",
+             "factor levels")
+    }
+    y <- as.numeric(stats::model.response(mf) == model$pos_class)
+    dropped <- attr(mf, "na.action")
+    if (!is.null(weights) && !is.null(dropped)) {
+        weights <- weights[-as.integer(dropped)]
+    }
+    list(X = model.matrix(model$formula, data = mf), y = y, w = weights)
 }
 
 #' Update the model with one batch (one optimizer iteration).
@@ -259,8 +285,8 @@ partial_fit_logistic <- function(model, X, y = NULL, weights = NULL) {
             stop("'X' must be a data.frame when using the formula interface")
         }
         if (is.null(model$optimizer)) init.formula(model, X)
-        b <- formula.batch(model, X)
-        partial_fit(model$optimizer, b$X, b$y, weights)
+        b <- formula.batch(model, X, weights)
+        partial_fit(model$optimizer, b$X, b$y, b$w)
         return(invisible(NULL))
     }
     X <- as.matrix(X)

@@ -171,9 +171,31 @@ nd2$grp[1] <- "zzz"
 stopifnot(length(predict(fmodel, nd2, type = "prob")) == 3)
 print(fmodel)
 
+# TRAINING batch containing an unseen factor level: the row must be
+# dropped from X, y AND weights together (one model.frame), never
+# recycled against a misaligned design matrix
+dfu <- df[1:60, ]
+dfu$grp[1] <- "unseen_level"
+wts <- rep(1.0, 60)
+n_before <- get_iteration_number(fmodel$optimizer)
+partial_fit_logistic(fmodel, dfu, weights = wts)
+stopifnot(get_iteration_number(fmodel$optimizer) == n_before + 1)
+stopifnot(all(is.finite(coef(fmodel))))
+# a batch with NO usable rows must error, not train on garbage
+dfa <- df[1:3, ]
+dfa$grp <- "zzz"
+res <- tryCatch(partial_fit_logistic(fmodel, dfa),
+                error = function(e) "err")
+stopifnot(identical(res, "err"))
+
 # formula error paths
 res <- tryCatch(stochastic_logistic_regression(label ~ x1),
                 error = function(e) "err")  # pos_class missing
+stopifnot(identical(res, "err"))
+res <- tryCatch(
+    stochastic_logistic_regression(label ~ x1, pos_class = "pos",
+                                   x0 = rnorm(3)),
+    error = function(e) "err")              # x0 incompatible with formula
 stopifnot(identical(res, "err"))
 res <- tryCatch(partial_fit_logistic(fmodel, df, y = rep(0, nf)),
                 error = function(e) "err")  # y forbidden with formula

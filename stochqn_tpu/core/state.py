@@ -167,11 +167,10 @@ class FisherMemory:
         """Append ``grads [k, n]`` in order — identical to ``k`` successive
         :meth:`append` calls, as one scatter.
 
-        The fused engine's round layout uses this to keep the per-step scan
-        body free of ring writes: the ring's only consumer is the boundary
-        Fisher product, so the round's gradients can land in one batched
-        insert there (measured: the per-step append dominated adaQN's
-        step cost — see BENCH_NOTES "adaQN op budget").
+        Block-ingestion API (e.g. replaying recorded gradients into a
+        resumed state).  The fused engine deliberately does NOT use it:
+        the deferred-append round layout was measured SLOWER than the
+        per-step ring write (BENCH_NOTES "adaQN op budget").
         """
         size = self.f.shape[0]
         k = grads.shape[0]

@@ -283,20 +283,17 @@ def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
 # adaQN
 # ===========================================================================
 def _adaqn_base(cfg: AdaQNConfig, grad_fn: GradFn, state: AdaQNState,
-                batch: Batch, step_size, append_fisher: bool = True
+                batch: Batch, step_size
                 ) -> Tuple[AdaQNState, jax.Array, jax.Array]:
     """Per-iteration adaQN work before any boundary
     (``src/stochqn.c:1170-1197``).  Returns ``(state, bad, grad)``.
 
-    ``append_fisher=False`` skips the per-step Fisher ring write; the
-    caller then owes the ring the step's gradient (the round layout
-    inserts the whole round's gradients in one ``append_block`` at the
-    boundary — the ring's only consumer).  Keeping the ring write out of
-    the hot scan body is a measured ~2x step-cost win: a third mutated
-    [.., n] buffer in the scan carry pushes the pair memory out of the
-    residency sweet spot (BENCH_NOTES "adaQN op budget")."""
+    The Fisher ring append happens here, per step, like the reference
+    (``src/stochqn.c:1174``).  A deferred layout (gradients emitted as
+    scan outputs, one batched insert at the boundary) was measured and
+    is SLOWER — see BENCH_NOTES "adaQN op budget"."""
     g = grad_fn(state.x, batch)
-    if not cfg.use_grad_diff and append_fisher:
+    if not cfg.use_grad_diff:
         state = state.replace(fisher=state.fisher.append(g))
 
     rescaled, acc_sq = diag_rescal(g, state.grad_sum_sq, cfg.scal_reg,

@@ -111,10 +111,17 @@ class PytreeTrainer:
       cfg: matching config dataclass.
       loss_fn: ``loss_fn(params_pytree, batch) -> scalar`` (JAX-traceable).
       val_data: optional device-resident batch for adaQN's guard.
+      donate: forward of ``FusedTrainer(donate=...)`` — by default
+        ``run_epochs`` CONSUMES the state passed in (its buffers are
+        donated to the first epoch dispatch and become unreadable;
+        keep using the returned state).  Pass ``False`` to keep the
+        input state readable, e.g. to diff against the pre-epoch
+        iterate.
     """
 
     def __init__(self, optimizer: str, cfg: Any, loss_fn: Callable,
-                 params_template: Any, val_data: Any = None):
+                 params_template: Any, val_data: Any = None,
+                 donate: bool = True):
         flat0, unravel = ravel_pytree(params_template)
         self._unravel = unravel
         self.loss_fn = loss_fn
@@ -126,7 +133,8 @@ class PytreeTrainer:
             return jax.grad(flat_loss)(xflat, batch)
 
         self.trainer = FusedTrainer(optimizer, cfg, grad_fn,
-                                    obj_fn=flat_loss, val_data=val_data)
+                                    obj_fn=flat_loss, val_data=val_data,
+                                    donate=donate)
         self._flat0 = flat0
 
     def init(self, params=None):
@@ -137,6 +145,8 @@ class PytreeTrainer:
         return self.trainer.epoch(state, data, step_size, aligned=aligned)
 
     def run_epochs(self, state, data, nepochs, step_size, **kw):
+        """Host loop over fused epochs.  With the default ``donate=True``
+        the passed-in ``state`` is consumed (see the class docstring)."""
         return self.trainer.run_epochs(state, data, nepochs, step_size, **kw)
 
     @property

@@ -28,11 +28,14 @@ _DTYPE_BYTES = {
 _COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
                 "all-to-all", "collective-permute")
 
-# `%name = <shape> all-reduce(...)` — shape may be a tuple.  `-start`
-# variants are the async forms; their `-done` halves carry no new payload.
+# `%name = <shape> all-reduce(...)` — the shape region is everything
+# between `=` and the op keyword (non-greedy), so tuple shapes whose TPU
+# tiled layouts contain parentheses (`(f32[512]{0:T(512)}, ...)`) are
+# captured whole.  `-start` variants are the async forms; their `-done`
+# halves carry no new payload.
 _OP_RE = re.compile(
-    r"=\s*(?P<shape>\([^)]*\)|\S+)\s+(?P<kind>"
-    + "|".join(_COLLECTIVES) + r")(?:-start)?\(")
+    r"=\s*(?P<shape>.+?)\s+(?P<kind>"
+    + "|".join(_COLLECTIVES) + r")(?P<start>-start)?\(")
 _SHAPE_RE = re.compile(r"(?P<dtype>[a-z]+\d*)\[(?P<dims>[\d,]*)\]")
 _GROUPS_RE = re.compile(r"replica_groups=\[(?P<ngroups>\d+),(?P<gsize>\d+)\]")
 
@@ -45,8 +48,9 @@ class CollectiveOp:
     line: str           # the HLO line, for diagnostics
 
 
-def _shape_bytes(shape: str) -> int:
-    total = 0
+def _element_bytes(shape: str):
+    """Byte size of every tensor in a (possibly tuple) shape string."""
+    out = []
     for m in _SHAPE_RE.finditer(shape):
         nbytes = _DTYPE_BYTES.get(m.group("dtype"))
         if nbytes is None:
@@ -56,8 +60,24 @@ def _shape_bytes(shape: str) -> int:
         if dims:
             for d in dims.split(","):
                 n *= int(d)
-        total += n * nbytes
-    return total
+        out.append(n * nbytes)
+    return out
+
+
+def _shape_bytes(shape: str, is_start: bool) -> int:
+    """Payload bytes of one collective's result shape.
+
+    Sync forms: the result IS the payload; a tuple result is a fused
+    multi-tensor collective, so elements SUM.  Async ``-start`` forms
+    return ``(operand, result[, scratch])`` — summing would double-count
+    — and the wire payload is bounded by the LARGEST element (all-reduce:
+    operand == result; all-gather: result; reduce-scatter: operand), so
+    the max is taken.
+    """
+    sizes = _element_bytes(shape)
+    if not sizes:
+        return 0
+    return max(sizes) if is_start else sum(sizes)
 
 
 def collective_ops(hlo_text: str) -> List[CollectiveOp]:
@@ -77,7 +97,8 @@ def collective_ops(hlo_text: str) -> List[CollectiveOp]:
         g = _GROUPS_RE.search(line)
         ops.append(CollectiveOp(
             kind=m.group("kind"),
-            payload_bytes=_shape_bytes(m.group("shape")),
+            payload_bytes=_shape_bytes(m.group("shape"),
+                                       m.group("start") is not None),
             group_size=int(g.group("gsize")) if g else 0,
             line=line.strip()))
     return ops

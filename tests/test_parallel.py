@@ -328,3 +328,38 @@ def test_collective_bytes_olbfgs_step_mixed_mesh(rng):
     total = collective_bytes(hlo)
     shard_bytes = n * 4 // p
     assert 2 * shard_bytes <= total <= 2 * shard_bytes + 4096, total
+
+
+def test_hlo_stats_parses_tpu_async_and_tiled_forms():
+    """TPU compiles emit async `-start` ops whose result tuple is
+    (operand, result[, scratch]) — summing would double-count — and
+    tiled layouts with parentheses inside the shape (`{0:T(512)}`) that
+    must not truncate the tuple parse."""
+    from stochqn_tpu.parallel.hlo_stats import collective_ops
+
+    hlo = "\n".join([
+        # sync, plain (CPU-style)
+        "  %all-reduce = f32[64]{0} all-reduce(%wrapped), "
+        "channel_id=1, replica_groups=[1,8]<=[8]",
+        # async start with tiled layouts: payload = LARGEST element
+        "  %ag = (f32[512]{0:T(512)}, f32[4096]{0:T(512)}) "
+        "all-gather-start(f32[512]{0:T(512)} %p), "
+        "replica_groups=[1,8]<=[8], dimensions={0}",
+        # async all-reduce start: operand == result, max not sum
+        "  %ar = (f32[256]{0:T(256)}, f32[256]{0:T(256)}) "
+        "all-reduce-start(f32[256]{0:T(256)} %q), replica_groups=[2,4]<=[8]",
+        # the matching -done carries no new payload
+        "  %ard = f32[256]{0:T(256)} all-reduce-done(%ar)",
+        # sync tuple = fused multi-tensor collective: elements SUM
+        "  %fused = (f32[16]{0}, f32[8]{0}) all-reduce(%a, %b), "
+        "replica_groups=[1,8]<=[8]",
+    ])
+    ops = collective_ops(hlo)
+    got = [(o.kind, o.payload_bytes, o.group_size) for o in ops]
+    assert ("all-reduce", 64 * 4, 8) in got
+    assert ("all-gather", 4096 * 4, 8) in got           # max, not sum
+    assert ("all-reduce", 256 * 4, 4) in got            # start: max
+    assert ("all-reduce", 16 * 4 + 8 * 4, 8) in got     # sync tuple: sum
+    # exactly these four (the -done matched as its own all-reduce? no:
+    # "-done(" does not match the "(?:-start)?\(" pattern)
+    assert len(ops) == 4, got
