@@ -183,8 +183,18 @@ def main():
     }
     print(json.dumps(out))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "SCALING.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    path = os.path.join(here, "SCALING.json")
+    # MERGE into the existing file (mirror ici_roofline.py): this script only
+    # owns the virtual-mesh sections; overwriting wholesale once clobbered the
+    # ici_roofline and multiprocess sections other docs cite (round-3 regression,
+    # locked by tests/test_docs.py::test_scaling_json_sections).
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(out)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
