@@ -135,7 +135,7 @@ def build():
 
     trainer = FusedTrainer(
         "SQN", SQNConfig.create(mem_size=MEM_SIZE, bfgs_upd_freq=UPD_FREQ),
-        grad_fn)
+        grad_fn, donate=True)
     return trainer, trainer.init(x0), (X, Y)
 
 

@@ -97,7 +97,7 @@ def main():
     acfg = AdaQNConfig.create(mem_size=MEM, fisher_size=FISHER,
                               bfgs_upd_freq=L, max_incr=1.01,
                               rmsprop_weight=0.9)
-    atr = FusedTrainer("adaQN", acfg, grad_fn, obj_fn=obj_fn)
+    atr = FusedTrainer("adaQN", acfg, grad_fn, obj_fn=obj_fn, donate=True)
     # a warmed state so the two-loop direction path is live
     warm, _ = atr.jit_epoch()(atr.init(x0), (X, Yb), jnp.float32(1e-2),
                               aligned=True)
@@ -150,7 +150,7 @@ def main():
         print(f"{variant:10s}: {results[variant]:7.1f} us/step", flush=True)
 
     scfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L)
-    stro = FusedTrainer("SQN", scfg, grad_fn)
+    stro = FusedTrainer("SQN", scfg, grad_fn, donate=True)
     swarm, _ = stro.jit_epoch()(stro.init(x0), (X, Yb), jnp.float32(1e-2),
                                 aligned=True)
     results["sqn"] = timed(functools.partial(_sqn_base, scfg, grad_fn),

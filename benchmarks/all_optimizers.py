@@ -38,35 +38,35 @@ def main():
 
     variants = {
         "oLBFGS": FusedTrainer("oLBFGS", OLBFGSConfig.create(mem_size=10),
-                               grad_fn),
+                               grad_fn, donate=True),
         "SQN (jvp hess-vec)": FusedTrainer(
-            "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L), grad_fn),
+            "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L), grad_fn, donate=True),
         "SQN (grad-diff)": FusedTrainer(
             "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L,
-                                    use_grad_diff=True), grad_fn),
+                                    use_grad_diff=True), grad_fn, donate=True),
         "SQN (bf16 pairs)": FusedTrainer(
             "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L,
-                                    pairs_bf16=True), grad_fn),
+                                    pairs_bf16=True), grad_fn, donate=True),
         "adaQN (fisher)": FusedTrainer(
             "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=100,
                                         bfgs_upd_freq=L,
                                         rmsprop_weight=0.9), grad_fn,
-            obj_fn=obj_fn),
+            obj_fn=obj_fn, donate=True),
         "adaQN (fisher, pallas)": FusedTrainer(
             "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=100,
                                         bfgs_upd_freq=L, rmsprop_weight=0.9,
                                         use_pallas=True), grad_fn,
-            obj_fn=obj_fn),
+            obj_fn=obj_fn, donate=True),
         "adaQN (fisher bf16)": FusedTrainer(
             "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=100,
                                         bfgs_upd_freq=L, rmsprop_weight=0.9,
                                         fisher_bf16=True), grad_fn,
-            obj_fn=obj_fn),
+            obj_fn=obj_fn, donate=True),
         "adaQN (fisher_size=4)": FusedTrainer(
             "adaQN", AdaQNConfig.create(mem_size=10, fisher_size=4,
                                         bfgs_upd_freq=L,
                                         rmsprop_weight=0.9), grad_fn,
-            obj_fn=obj_fn),
+            obj_fn=obj_fn, donate=True),
     }
     for name, tr in variants.items():
         state = tr.init(x0)

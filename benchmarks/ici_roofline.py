@@ -185,7 +185,7 @@ def phase_measure():
         x0 = jnp.asarray(rng.standard_normal(N).astype(np.float32))
         tr = FusedTrainer("SQN",
                           SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L),
-                          grad_fn)
+                          grad_fn, donate=True)
         state = tr.init(x0)
         ep = tr.jit_epoch()
         state, _ = ep(state, (X, Y), jnp.float32(0.01), aligned=True)

@@ -57,7 +57,7 @@ def main():
     for bf16 in variants:
         cfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L,
                                use_grad_diff=True, pairs_bf16=bf16)
-        tr = FusedTrainer("SQN", cfg, grad_fn)
+        tr = FusedTrainer("SQN", cfg, grad_fn, donate=True)
         state = tr.init(x0)
         # donated state carry: without it the epoch dispatch holds
         # input+output copies of the [2m, n] pair memory and f32 OOMs at
@@ -102,7 +102,7 @@ def main_adaqn():
         cfg = AdaQNConfig.create(
             mem_size=MEM, bfgs_upd_freq=L, fisher_size=8, max_incr=None,
             pairs_bf16=bf16, fisher_bf16=fisher_bf16, use_pallas=pallas)
-        tr = FusedTrainer("adaQN", cfg, grad_fn)
+        tr = FusedTrainer("adaQN", cfg, grad_fn, donate=True)
         state = tr.init(x0)
         ep = tr.jit_epoch()
         state, _ = ep(state, targets, jnp.float32(1e-2), aligned=True)

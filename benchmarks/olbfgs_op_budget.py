@@ -145,7 +145,7 @@ def main():
     x0 = jnp.asarray(rng.standard_normal(N), jnp.float32)
 
     cfg = OLBFGSConfig.create(mem_size=MEM, min_curvature=None)
-    tr = FusedTrainer("oLBFGS", cfg, grad_fn)
+    tr = FusedTrainer("oLBFGS", cfg, grad_fn, donate=True)
     warm, _ = tr.jit_epoch()(tr.init(x0), (X, Y), jnp.float32(1e-2))
 
     def production(state, batch, step_size):
@@ -159,7 +159,7 @@ def main():
         print(f"{variant:12s}: {us:7.1f} us/step", flush=True)
 
     scfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=20)
-    stro = FusedTrainer("SQN", scfg, grad_fn)
+    stro = FusedTrainer("SQN", scfg, grad_fn, donate=True)
     swarm, _ = stro.jit_epoch()(stro.init(x0), (X, Y), jnp.float32(1e-2),
                                 aligned=True)
     us = timed(functools.partial(_sqn_base, scfg, grad_fn), swarm)

@@ -124,7 +124,7 @@ def worker(pid, nproc, port, config="reduction_bound", cluster=True):
     trainer = FusedTrainer("SQN",
                            SQNConfig.create(mem_size=5, bfgs_upd_freq=L_,
                                             use_grad_diff=config == "compute_dominated"),
-                           grad_fn)
+                           grad_fn, donate=True)
     mesh = distributed.global_mesh()
     state = distributed.replicate_global(
         trainer.init(jnp.zeros(n, jnp.float32)), mesh)

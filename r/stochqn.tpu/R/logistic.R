@@ -332,12 +332,26 @@ predict.stochastic_logistic_regression <- function(object, newdata,
         # predict must work without the target column: build the design
         # from the RHS terms only when the response is absent
         if (object$target_col %in% colnames(nd)) {
-            Xi <- model.matrix(object$formula, data = nd)
+            tt <- stats::terms(object$formula, data = nd)
         } else {
-            Xi <- model.matrix(stats::delete.response(
-                stats::terms(object$formula, data = nd)), data = nd)
+            tt <- stats::delete.response(
+                stats::terms(object$formula, data = nd))
         }
+        # na.pass (not the na.omit default): rows with NAs or unseen
+        # (pinned-to-NA) factor levels must yield NA predictions instead
+        # of being silently dropped — callers align predictions to
+        # nrow(newdata) positionally
+        mf <- stats::model.frame(tt, data = nd,
+                                 na.action = stats::na.pass)
+        Xi <- stats::model.matrix(tt, data = mf)
         p <- logistic_pred(Xi, get_curr_x(object$optimizer))
+        if (anyNA(p)) {
+            warning(sprintf(
+                "%d newdata row(s) had NAs or unseen factor levels; their predictions are NA (rows: %s)",
+                sum(is.na(p)),
+                paste(utils::head(which(is.na(p)), 10L),
+                      collapse = ", ")))
+        }
         if (type == "prob") return(p)
         return(ifelse(p >= 0.5, object$pos_class, object$neg_class))
     }

@@ -469,9 +469,12 @@ class FusedTrainer:
     # trajectory-identical (locked by
     # ``tests/test_fused.py::test_donated_epoch_trajectory_identical``).
     # The cost: the state passed INTO ``run_epochs``/the jitted epoch is
-    # consumed (its buffers are invalidated); keep ``donate=False`` or
-    # checkpoint first if the pre-epoch state must stay readable.
-    donate: bool = True
+    # CONSUMED (its buffers are invalidated).  Default OFF so the public
+    # API is non-consuming — callers that diff against the pre-epoch
+    # iterate or re-run from a saved state keep working; opt in with
+    # ``donate=True`` for the large-n capacity path (bench.py and
+    # benchmarks/large_n.py do).
+    donate: bool = False
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -636,9 +639,10 @@ class FusedTrainer:
 
     def jit_epoch(self):
         """The cached jitted ``epoch``, with the state carry donated when
-        ``self.donate`` (the default — see the field comment).  Use this
-        (or ``run_epochs``) rather than ``jax.jit(trainer.epoch, ...)``
-        directly to get the in-place pair-memory reuse."""
+        ``self.donate`` (opt-in — see the field comment).  With donation
+        on, use this (or ``run_epochs``) rather than
+        ``jax.jit(trainer.epoch, ...)`` directly to get the in-place
+        pair-memory reuse."""
         if self._epoch_jit is None:
             donate = (0,) if self.donate else ()
             object.__setattr__(
@@ -655,10 +659,11 @@ class FusedTrainer:
         ``data`` leaves are pre-batched ``[B, bs, ...]``.
         ``decr_step_size(step0, epoch)`` mirrors the guided schedule hook.
 
-        With the default ``donate=True`` the *passed-in* ``state``'s buffers
+        With ``donate=True`` (opt-in) the *passed-in* ``state``'s buffers
         are donated to the first epoch dispatch and become unreadable
-        afterwards (the returned state is the live one) — construct the
-        trainer with ``donate=False`` to keep them.
+        afterwards (the returned state is the live one) — the default
+        ``donate=False`` keeps them readable at the cost of holding
+        input+output copies of the pair memory across each dispatch.
         """
         epoch_fn = self.jit_epoch()
         L = getattr(self.cfg, "upd_freq", 1)

@@ -267,9 +267,30 @@ class _GuidedBase:
             return X.tocsr()
         return X
 
-    def fit(self, X, y, sample_weight=None, additional_kwargs={}, valset=None):
+    def fit(self, X, y, sample_weight=None, additional_kwargs={}, valset=None,
+            engine="protocol"):
         """Fit over ``nepochs`` epochs of ``batches_per_epoch`` batches,
-        optionally early-stopping on a validation objective."""
+        optionally early-stopping on a validation objective.
+
+        ``engine="protocol"`` (default) runs the reference-exact
+        request/response loop — one host round trip per gradient, any
+        callables, sparse inputs, per-iteration callbacks.
+
+        ``engine="fused"`` runs each epoch as ONE jitted on-device program
+        (:class:`stochqn_tpu.fused.FusedTrainer`) when the user callables
+        are JAX-traceable, falling back to the protocol loop (with a
+        warning) otherwise.  Epoch shuffling, step schedules, validation
+        early stopping and the final optimizer state are identical to the
+        protocol path; big-batch gradients/Hessian-vector products are
+        evaluated on the same rows but in a merged order, so trajectories
+        match the protocol to float tolerance, not bitwise
+        (docs/protocol.md).  For SQN without ``use_grad_diff`` the
+        Hessian-vector product comes from ``jax.jvp`` of ``grad_fun``
+        (``hess_vec_fun`` is not traced).  Accelerates the loop the
+        reference drives per-request (``stochqn/_optimizers.py:199-286``).
+        """
+        if engine not in ("protocol", "fused"):
+            raise ValueError("'engine' must be 'protocol' or 'fused'")
         X, y = self._ensure_csr(X), self._ensure_csr(y)
         if X.shape[0] <= 0 or X.shape[0] != y.shape[0]:
             raise ValueError("X and y must have matching, nonzero rows")
@@ -297,6 +318,15 @@ class _GuidedBase:
                     random_state=self.random_state)
         else:
             X_val, y_val, w_val = None, None, None
+
+        if engine == "fused":
+            reason = self._fused_unsupported_reason(X, y, sample_weight)
+            if reason is None:
+                return self._fit_fused(X, y, sample_weight,
+                                       additional_kwargs, X_val, y_val,
+                                       w_val)
+            warnings.warn(f"engine='fused' unavailable ({reason}); "
+                          "falling back to the protocol loop.")
 
         obj_last_epoch = np.inf
         self.batch_size = int(np.ceil(X.shape[0] / self.batches_per_epoch))
@@ -333,6 +363,185 @@ class _GuidedBase:
                               "(decrease below tolerance).")
                     break
                 obj_last_epoch = obj
+        return self
+
+    # -- fused engine (epochs as single on-device programs) ---------------- #
+    def _fused_unsupported_reason(self, X, y, sample_weight):
+        """None when ``engine='fused'`` can run; else a human-readable
+        reason for the protocol fallback."""
+        if self.optimizer.backend != "jax":
+            return "the optimizer uses the native (C++) backend"
+        if issparse(X) or issparse(y):
+            return ("sparse inputs — use the protocol loop or the sparse "
+                    "fused path in models.logistic")
+        if self.callback_iter is not None:
+            return "callback_iter needs per-iteration host control"
+        if self.req["task"] != "calc_grad":
+            return ("the optimizer is mid-iteration (last request was "
+                    f"{self.req['task']!r}); finish it through "
+                    "partial_fit first")
+        if X.shape[0] % self.batches_per_epoch != 0:
+            return (f"{X.shape[0]} rows are not divisible by "
+                    f"batches_per_epoch={self.batches_per_epoch} (the "
+                    "fused scan needs equal static batch shapes; the "
+                    "protocol loop handles the ragged tail)")
+        return self._check_traceable(X, y, sample_weight)
+
+    def _wrap_jax_funs(self, additional_kwargs):
+        """The guided callables (``fn(x, X, y, sample_weight=..., **kw)``)
+        as fused-engine ``fn(x, batch)`` functions; ``batch`` is
+        ``(X, y)`` or ``(X, y, w)``."""
+        import jax.numpy as jnp
+        kw = dict(additional_kwargs or {})
+
+        def unpack(batch):
+            if len(batch) == 3:
+                return batch
+            Xb, yb = batch
+            return Xb, yb, None
+
+        def grad_fn(xv, batch):
+            Xb, yb, wb = unpack(batch)
+            g = self.grad_fun(xv, Xb, yb, sample_weight=wb, **kw)
+            return jnp.asarray(g, xv.dtype).reshape(-1)
+
+        obj_fn = None
+        if self.obj_fun is not None:
+            def obj_fn(xv, batch):
+                Xb, yb, wb = unpack(batch)
+                return jnp.asarray(
+                    self.obj_fun(xv, Xb, yb, sample_weight=wb, **kw),
+                    xv.dtype)
+        return grad_fn, obj_fn
+
+    def _fused_needs_obj(self) -> bool:
+        """Is ``obj_fun`` traced INTO the fused program (adaQN's
+        function-value guard)?  Validation early stopping stays on the
+        host either way."""
+        return (self.optimizer_name == "adaQN"
+                and self.optimizer.max_incr > 0)
+
+    def _check_traceable(self, X, y, sample_weight):
+        """Probe the user callables with abstract values; a reason string
+        when they are not JAX-traceable."""
+        import jax
+        import jax.numpy as jnp
+        grad_fn, obj_fn = self._wrap_jax_funs({})
+        bs = X.shape[0] // self.batches_per_epoch
+
+        def spec(a):
+            return jax.ShapeDtypeStruct((bs,) + np.asarray(a).shape[1:],
+                                        jnp.asarray(np.asarray(a)[:1]).dtype)
+        batch = (spec(X), spec(y))
+        if sample_weight is not None:
+            batch += (spec(sample_weight),)
+        x_spec = jax.ShapeDtypeStruct((self.n,), self.optimizer.dtype)
+        try:
+            out = jax.eval_shape(grad_fn, x_spec, batch)
+            if out.shape != (self.n,):
+                return (f"grad_fun returned shape {out.shape}, expected "
+                        f"({self.n},)")
+            if self._fused_needs_obj():
+                jax.eval_shape(obj_fn, x_spec, batch)
+        except Exception as exc:   # noqa: BLE001 — any trace failure
+            return f"callables are not JAX-traceable: {exc}"
+        return None
+
+    def _fit_fused(self, X, y, w, additional_kwargs, X_val, y_val, w_val):
+        """Epochs as single jitted device programs.  Same epoch shuffle
+        order (``np.random.seed(random_state + epoch)`` + argsort), step
+        schedule, early stopping and callbacks as the protocol path; see
+        ``fit`` for the documented float-order deltas."""
+        import jax
+        import jax.numpy as jnp
+        from stochqn_tpu.core.enums import INFO_NAMES, Info
+        from stochqn_tpu.fused import FusedTrainer, batchify
+
+        dtype = self.optimizer.dtype
+        grad_fn, obj_fn = self._wrap_jax_funs(additional_kwargs)
+        val_data = None
+        if X_val is not None and self._fused_needs_obj():
+            # adaQN's in-program guard evaluates on the validation set
+            # when one exists (protocol: guided._fit_batch valset branch)
+            val_data = (jnp.asarray(X_val), jnp.asarray(y_val))
+            if w_val is not None:
+                val_data += (jnp.asarray(w_val),)
+        trainer = FusedTrainer(
+            self.optimizer_name, self.optimizer._cfg, grad_fn,
+            obj_fn=obj_fn if self._fused_needs_obj() else None,
+            val_data=val_data)
+
+        state = self.optimizer.state
+        epoch_fn = jax.jit(trainer.epoch, static_argnames=("aligned",))
+        self.batch_size = X.shape[0] // self.batches_per_epoch
+        L = getattr(self.optimizer, "bfgs_upd_freq", 1)
+        niter = int(state.niter)   # tracked host-side (see fused.py)
+        kw = additional_kwargs or {}
+        obj_last_epoch = np.inf
+        last_info = Info.NO_PROBLEMS_ENCOUNTERED
+        # Shuffling is CUMULATIVE like the protocol loop (each epoch
+        # reshuffles the already-shuffled arrays — the reference reassigns
+        # X in place, stochqn/_optimizers.py:251-256), so the two engines
+        # see identical row orders.
+        Xe, ye, we = X, y, w
+        for self.epoch in range(self.nepochs):
+            if self.shuffle_data:
+                np.random.seed(self.random_state + self.epoch)
+                order = np.argsort(np.random.random(size=X.shape[0]))
+                Xe, ye = _take_rows(Xe, order), _take_rows(ye, order)
+                we = _take_rows(we, order)
+            parts = (jnp.asarray(Xe), jnp.asarray(ye))
+            if we is not None:
+                parts += (jnp.asarray(we),)
+            data = batchify(parts, self.batch_size)
+            eta = self.decr_step_size(self.step_size, self.epoch)
+            state, infos = epoch_fn(state, data, jnp.asarray(eta, dtype),
+                                    aligned=niter % L == 0)
+            niter += self.batches_per_epoch
+            infos_np = np.asarray(infos)
+            last_info = Info(int(infos_np[-1]))
+            if self.verbose:
+                base = niter - self.batches_per_epoch
+                for i in np.flatnonzero(
+                        infos_np != int(Info.NO_PROBLEMS_ENCOUNTERED)):
+                    print(f"{self.optimizer_name} - at iteration "
+                          f"{base + int(i) + 1}, epoch {self.epoch + 1}: "
+                          f"{INFO_NAMES[Info(int(infos_np[i]))]}")
+
+            x_np = np.asarray(state.x)
+            if self.callback_epoch is not None:
+                self.callback_epoch(x_np, **self.kwargs_cb)
+
+            if X_val is not None and self.obj_fun is not None:
+                obj = float(self.obj_fun(x_np, X_val, y_val,
+                                         sample_weight=w_val, **kw))
+                if self.verbose:
+                    print(f"{self.optimizer_name} - epoch: "
+                          f"{self.epoch + 1:2d}, f(x): {obj:12.4f}")
+                if (obj_last_epoch - obj) < self.tol and obj <= obj_last_epoch:
+                    if self.verbose:
+                        print(f"{self.optimizer_name} - terminated "
+                              "(decrease below tolerance).")
+                    break
+                obj_last_epoch = obj
+
+        # Hand the live state back to the free-mode protocol object: the
+        # fused steps end exactly at an iteration boundary (section 1,
+        # awaiting calc_grad), so partial_fit / run_optimizer continue
+        # seamlessly (tested: tests/test_guided.py fused<->protocol resume).
+        self.optimizer.state = state
+        # np.array (not asarray): device arrays view as read-only, and the
+        # protocol loop writes the iterate back into self.x in place
+        self.x = np.array(state.x, dtype=self.x.dtype).reshape(-1)
+        self.req = {
+            "task": "calc_grad",
+            "requested_on": self.x.copy(),
+            "info": {
+                "x_changed_in_run": True,
+                "iteration_number": int(state.niter),
+                "iteration_info": INFO_NAMES[last_info],
+            },
+        }
         return self
 
     def partial_fit(self, X, y, sample_weight=None, additional_kwargs={}):

@@ -111,17 +111,16 @@ class PytreeTrainer:
       cfg: matching config dataclass.
       loss_fn: ``loss_fn(params_pytree, batch) -> scalar`` (JAX-traceable).
       val_data: optional device-resident batch for adaQN's guard.
-      donate: forward of ``FusedTrainer(donate=...)`` — by default
-        ``run_epochs`` CONSUMES the state passed in (its buffers are
-        donated to the first epoch dispatch and become unreadable;
-        keep using the returned state).  Pass ``False`` to keep the
-        input state readable, e.g. to diff against the pre-epoch
-        iterate.
+      donate: forward of ``FusedTrainer(donate=...)`` — off by default
+        (non-consuming ``run_epochs``).  Pass ``True`` for the large-n
+        capacity path: the state passed into ``run_epochs`` is then
+        CONSUMED (its buffers donated to the first epoch dispatch and
+        unreadable afterwards; keep using the returned state).
     """
 
     def __init__(self, optimizer: str, cfg: Any, loss_fn: Callable,
                  params_template: Any, val_data: Any = None,
-                 donate: bool = True):
+                 donate: bool = False):
         flat0, unravel = ravel_pytree(params_template)
         self._unravel = unravel
         self.loss_fn = loss_fn
@@ -145,7 +144,7 @@ class PytreeTrainer:
         return self.trainer.epoch(state, data, step_size, aligned=aligned)
 
     def run_epochs(self, state, data, nepochs, step_size, **kw):
-        """Host loop over fused epochs.  With the default ``donate=True``
+        """Host loop over fused epochs.  With ``donate=True`` (opt-in)
         the passed-in ``state`` is consumed (see the class docstring)."""
         return self.trainer.run_epochs(state, data, nepochs, step_size, **kw)
 

@@ -37,7 +37,11 @@ _OP_RE = re.compile(
     r"=\s*(?P<shape>.+?)\s+(?P<kind>"
     + "|".join(_COLLECTIVES) + r")(?P<start>-start)?\(")
 _SHAPE_RE = re.compile(r"(?P<dtype>[a-z]+\d*)\[(?P<dims>[\d,]*)\]")
+# Two replica_groups encodings appear in XLA text: the iota form
+# `replica_groups=[ngroups,gsize]<=[...]` and the explicit-list form
+# `replica_groups={{0,1},{2,3}}` (group size = first group's element count).
 _GROUPS_RE = re.compile(r"replica_groups=\[(?P<ngroups>\d+),(?P<gsize>\d+)\]")
+_GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{(?P<first>[\d,]*)\}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -95,11 +99,30 @@ def collective_ops(hlo_text: str) -> List[CollectiveOp]:
         if not m:
             continue
         g = _GROUPS_RE.search(line)
+        if g:
+            group_size = int(g.group("gsize"))
+        else:
+            gl = _GROUPS_LIST_RE.search(line)
+            group_size = (len(gl.group("first").split(","))
+                          if gl and gl.group("first") else 0)
+        payload = _shape_bytes(m.group("shape"),
+                               m.group("start") is not None)
+        if (group_size == 0 and payload > 0
+                and m.group("kind") != "collective-permute"
+                and "replica_groups={}" not in line):
+            # A grouped collective with payload but unparsed replica_groups
+            # would silently corrupt downstream roofline math (2B(g-1)/g) —
+            # fail loudly.  collective-permute has source_target_pairs
+            # instead, and empty replica_groups={} means "all devices"
+            # (size not recoverable from the op line); both keep
+            # group_size=0 = unknown, as documented on CollectiveOp.
+            raise ValueError(
+                "unparsed replica_groups on a collective with payload: "
+                + line.strip())
         ops.append(CollectiveOp(
             kind=m.group("kind"),
-            payload_bytes=_shape_bytes(m.group("shape"),
-                                       m.group("start") is not None),
-            group_size=int(g.group("gsize")) if g else 0,
+            payload_bytes=payload,
+            group_size=group_size,
             line=line.strip()))
     return ops
 

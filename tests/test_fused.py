@@ -302,7 +302,7 @@ def test_unroll_is_trajectory_identical(rng, kind):
 
 @pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
 def test_donated_epoch_trajectory_identical(rng, kind):
-    """``FusedTrainer.jit_epoch`` donates the state carry (default) so XLA
+    """``FusedTrainer.jit_epoch`` donates the state carry (opt-in) so XLA
     reuses the pair-memory buffers in place.  Donation is a pure memory
     optimization: the trajectory must be bitwise identical to the
     undonated dispatch, and the donated-in state must actually be consumed
@@ -324,7 +324,7 @@ def test_donated_epoch_trajectory_identical(rng, kind):
     st_p = plain.init(jnp.zeros(n))
     st_p, infos_p = plain.run_epochs(st_p, centers, NEPOCHS, 0.05)
 
-    don = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj)   # donate=True
+    don = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj, donate=True)
     st0 = don.init(jnp.zeros(n))
     st_d, infos_d = don.run_epochs(st0, centers, NEPOCHS, 0.05)
 
@@ -336,6 +336,27 @@ def test_donated_epoch_trajectory_identical(rng, kind):
     assert st0.x.is_deleted()
 
 
+def test_default_run_epochs_nonconsuming(rng):
+    """By default (``donate=False``) ``run_epochs`` must NOT consume the
+    passed-in state: callers that diff against the pre-epoch iterate or
+    re-run from the same state keep working (advisor r3).  Donation is the
+    opt-in capacity path tested above."""
+    n, B, bs = 6, 4, 2
+    grad_fn, _ = _make_funs(_quad_problem(rng, n))
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    trainer = FusedTrainer("SQN", SQNConfig.create(mem_size=2,
+                                                   bfgs_upd_freq=2), grad_fn)
+    st0 = trainer.init(jnp.zeros(n))
+    st1, _ = trainer.run_epochs(st0, centers, 1, 0.05)
+    # pre-epoch state is still readable...
+    assert not st0.x.is_deleted()
+    delta = float(jnp.linalg.norm(st1.x - st0.x))
+    assert np.isfinite(delta) and delta > 0
+    # ...and re-running from it reproduces the same trajectory
+    st1b, _ = trainer.run_epochs(st0, centers, 1, 0.05)
+    np.testing.assert_array_equal(np.asarray(st1b.x), np.asarray(st1.x))
+
+
 def test_init_copies_x0(rng):
     """``trainer.init`` must own its buffers: the caller's ``x0`` array
     stays readable after donated epochs, and repeated ``init(x0)`` works."""
@@ -343,7 +364,8 @@ def test_init_copies_x0(rng):
     grad_fn, _ = _make_funs(_quad_problem(rng, n))
     centers = jnp.asarray(rng.standard_normal((B, bs, n)))
     trainer = FusedTrainer("SQN", SQNConfig.create(mem_size=2,
-                                                   bfgs_upd_freq=2), grad_fn)
+                                                   bfgs_upd_freq=2), grad_fn,
+                           donate=True)
     x0 = jnp.asarray(rng.standard_normal(n))
     st = trainer.init(x0)
     st, _ = trainer.run_epochs(st, centers, 1, 0.05)

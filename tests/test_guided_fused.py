@@ -1,0 +1,231 @@
+"""Guided ``fit(engine="fused")``: epochs as single device programs.
+
+The fused engine must reproduce the protocol driver's trajectory on an
+aligned configuration (same shuffle order, schedule, early stopping, final
+optimizer state) — the on-device analogue of the loop the reference drives
+per-request (``stochqn/_optimizers.py:199-286``).  Big batches are the same
+rows in a merged order, so equality is to float tolerance (f64 here), not
+bitwise — docs/protocol.md.
+"""
+import numpy as np
+import pytest
+
+from stochqn_tpu.guided import SQN, adaQN, oLBFGS
+
+
+def _linreg(rng, n_samples=200, n_features=8, noise=0.05):
+    X = rng.standard_normal((n_samples, n_features))
+    w_true = rng.standard_normal(n_features)
+    y = X @ w_true + noise * rng.standard_normal(n_samples)
+    return X, y
+
+
+def _lsq_funs():
+    def obj(w, X, y, sample_weight=None, **kw):
+        r = X @ w - y
+        if sample_weight is not None:
+            return 0.5 * (sample_weight * r ** 2).sum() / X.shape[0]
+        return 0.5 * np.mean(r ** 2)
+
+    def grad(w, X, y, sample_weight=None, **kw):
+        r = X @ w - y
+        if sample_weight is not None:
+            r = r * sample_weight
+        return X.T @ r / X.shape[0]
+
+    def hessvec(w, v, X, y, sample_weight=None, **kw):
+        return X.T @ (X @ v) / X.shape[0]
+    return obj, grad, hessvec
+
+
+def _makers():
+    obj, grad, hessvec = _lsq_funs()
+    return {
+        "oLBFGS": lambda x0: oLBFGS(
+            x0, grad, obj_fun=obj, step_size=0.1, batches_per_epoch=10,
+            nepochs=4, verbose=False),
+        "SQN-hv": lambda x0: SQN(
+            x0, grad, obj_fun=obj, hess_vec_fun=hessvec, step_size=0.1,
+            batches_per_epoch=10, bfgs_upd_freq=5, nepochs=4,
+            verbose=False),
+        "SQN-gd": lambda x0: SQN(
+            x0, grad, obj_fun=obj, use_grad_diff=True, step_size=0.1,
+            batches_per_epoch=10, bfgs_upd_freq=5, nepochs=4,
+            verbose=False),
+        "adaQN": lambda x0: adaQN(
+            x0, grad, obj_fun=obj, step_size=0.5, batches_per_epoch=10,
+            bfgs_upd_freq=5, fisher_size=20, nepochs=4, verbose=False),
+        "adaQN-gd": lambda x0: adaQN(
+            x0, grad, obj_fun=obj, use_grad_diff=True, step_size=0.5,
+            batches_per_epoch=10, bfgs_upd_freq=5, nepochs=4,
+            verbose=False),
+    }
+
+
+@pytest.mark.parametrize("kind", list(_makers()))
+def test_fused_fit_matches_protocol(rng, kind):
+    """Aligned config (divisible rows, B % upd_freq == 0, fresh state,
+    shuffle ON): protocol and fused fits produce the same trajectory,
+    iteration count and protocol position."""
+    X, y = _linreg(rng)
+    make = _makers()[kind]
+    x0 = np.zeros(X.shape[1])
+
+    p = make(x0)
+    p.fit(X, y, engine="protocol")
+    f = make(x0)
+    f.fit(X, y, engine="fused")
+
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+    assert f.niter == p.niter == 40
+    assert f.req["task"] == p.req["task"] == "calc_grad"
+    assert (f.req["info"]["iteration_number"]
+            == p.req["info"]["iteration_number"])
+
+
+def test_fused_fit_with_sample_weights_matches_protocol(rng):
+    X, y = _linreg(rng)
+    w = rng.uniform(0.5, 1.5, X.shape[0])
+    make = _makers()["SQN-gd"]
+    p, f = make(np.zeros(X.shape[1])), make(np.zeros(X.shape[1]))
+    p.fit(X, y, sample_weight=w, engine="protocol")
+    f.fit(X, y, sample_weight=w, engine="fused")
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+
+
+def test_fused_then_partial_fit_resumes_protocol(rng):
+    """The state handed back by the fused fit is a valid protocol resume
+    point: partial_fit afterwards matches an all-protocol run."""
+    X, y = _linreg(rng)
+    make = _makers()["SQN-hv"]
+
+    p = make(np.zeros(X.shape[1]))
+    p.fit(X, y, engine="protocol")
+    f = make(np.zeros(X.shape[1]))
+    f.fit(X, y, engine="fused")
+
+    for opt in (p, f):
+        for i in range(0, 200, 20):
+            opt.partial_fit(X[i:i + 20], y[i:i + 20])
+    assert f.niter == p.niter == 50
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+
+
+def test_fused_valset_early_stop_matches_protocol(rng):
+    """Validation early stopping fires at the same epoch in both engines
+    (host-side objective either way)."""
+    X, y = _linreg(rng, n_samples=200)
+    obj, grad, _ = _lsq_funs()
+    Xv, yv = _linreg(rng, n_samples=50)
+
+    def run(engine):
+        calls = []
+        opt = oLBFGS(np.zeros(X.shape[1]), grad, obj_fun=obj,
+                     step_size=0.1, batches_per_epoch=10, nepochs=50,
+                     tol=1e-3, verbose=False,
+                     callback_epoch=lambda x: calls.append(1))
+        opt.fit(X, y, valset=(Xv, yv, None), engine=engine)
+        return opt, len(calls)
+
+    p, ep = run("protocol")
+    f, ef = run("fused")
+    assert ef == ep < 50
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+
+
+def test_fused_adaqn_guard_on_valset_matches_protocol(rng):
+    """adaQN's in-program function-value guard evaluates on the validation
+    set when one exists (protocol: the valset branch of _fit_batch)."""
+    X, y = _linreg(rng)
+    obj, grad, _ = _lsq_funs()
+    Xv, yv = _linreg(rng, n_samples=40)
+
+    def run(engine):
+        opt = adaQN(np.zeros(X.shape[1]), grad, obj_fun=obj, step_size=0.5,
+                    batches_per_epoch=10, bfgs_upd_freq=5, fisher_size=20,
+                    nepochs=4, tol=0.0, verbose=False)
+        opt.fit(X, y, valset=(Xv, yv, None), engine=engine)
+        return opt
+
+    p, f = run("protocol"), run("fused")
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------- #
+# Fallbacks
+# ---------------------------------------------------------------------- #
+def _expect_fallback(rng, opt_kwargs=None, fit_kwargs=None, n_samples=200,
+                     match="falling back"):
+    X, y = _linreg(rng, n_samples=n_samples)
+    obj, grad, _ = _lsq_funs()
+    kw = dict(step_size=0.1, batches_per_epoch=10, nepochs=2, verbose=False)
+    kw.update(opt_kwargs or {})
+    opt = oLBFGS(np.zeros(X.shape[1]), grad, obj_fun=obj, **kw)
+    ref = oLBFGS(np.zeros(X.shape[1]), grad, obj_fun=obj, **kw)
+    with pytest.warns(UserWarning, match=match):
+        opt.fit(X, y, engine="fused", **(fit_kwargs or {}))
+    ref.fit(X, y, engine="protocol", **(fit_kwargs or {}))
+    # the fallback IS the protocol loop: bitwise-equal trajectory
+    np.testing.assert_array_equal(opt.x, ref.x)
+
+
+def test_fallback_on_nontraceable_callable(rng):
+    X, y = _linreg(rng)
+    obj, grad, _ = _lsq_funs()
+
+    def numpy_only_grad(w, Xb, yb, sample_weight=None, **kw):
+        w = np.asarray(w)            # forces a concrete array: untraceable
+        return Xb.T @ (Xb @ w - yb) / Xb.shape[0]
+
+    opt = oLBFGS(np.zeros(X.shape[1]), numpy_only_grad, step_size=0.1,
+                 batches_per_epoch=10, nepochs=2, verbose=False)
+    ref = oLBFGS(np.zeros(X.shape[1]), grad, step_size=0.1,
+                 batches_per_epoch=10, nepochs=2, verbose=False)
+    with pytest.warns(UserWarning, match="not JAX-traceable"):
+        opt.fit(X, y, engine="fused")
+    ref.fit(X, y, engine="protocol")
+    np.testing.assert_allclose(opt.x, ref.x, rtol=1e-12)
+
+
+def test_fallback_on_ragged_rows(rng):
+    _expect_fallback(rng, n_samples=205, match="not divisible")
+
+
+def test_fallback_on_callback_iter(rng):
+    _expect_fallback(rng, opt_kwargs=dict(callback_iter=lambda x: None),
+                     match="callback_iter")
+
+
+def test_fallback_on_native_backend(rng):
+    _expect_fallback(rng, opt_kwargs=dict(backend="native", use_float=False),
+                     match="native")
+
+
+def test_fallback_on_mid_iteration_state(rng):
+    """A SQN optimizer parked mid-iteration (awaiting hess_vec) cannot
+    enter the fused epoch; fit falls back and still completes."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    opt = SQN(np.zeros(X.shape[1]), grad, obj_fun=obj,
+              hess_vec_fun=hessvec, step_size=0.1, batches_per_epoch=10,
+              bfgs_upd_freq=5, nepochs=2, verbose=False)
+    # advance the raw protocol until it parks mid-iteration (the first
+    # upd_freq boundary only archives averages; the second requests the
+    # Hessian-vector product)
+    for k in range(10):
+        opt.optimizer.update_gradient(grad(opt.x, X[:20], y[:20]))
+        opt.req = opt.optimizer.run_optimizer(opt.x, 0.1)
+        if opt.req["task"] != "calc_grad":
+            break
+    assert opt.req["task"] == "calc_hess_vec"
+    with pytest.warns(UserWarning, match="mid-iteration"):
+        opt.fit(X, y, engine="fused")
+
+
+def test_engine_arg_validated(rng):
+    X, y = _linreg(rng)
+    _, grad, _ = _lsq_funs()
+    opt = oLBFGS(np.zeros(X.shape[1]), grad, step_size=0.1,
+                 batches_per_epoch=10, nepochs=1, verbose=False)
+    with pytest.raises(ValueError, match="engine"):
+        opt.fit(X, y, engine="warp")

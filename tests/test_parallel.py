@@ -363,3 +363,32 @@ def test_hlo_stats_parses_tpu_async_and_tiled_forms():
     # exactly these four (the -done matched as its own all-reduce? no:
     # "-done(" does not match the "(?:-start)?\(" pattern)
     assert len(ops) == 4, got
+
+
+def test_hlo_stats_explicit_group_lists_and_permute():
+    """XLA emits replica_groups in two encodings: the iota form (above)
+    and the explicit-list form `{{0,1},{2,3}}`; the parser must derive
+    the group size from the first group instead of silently reporting 0
+    (advisor r3).  collective-permute (source_target_pairs, no groups)
+    and empty `replica_groups={}` stay group_size=0=unknown; any OTHER
+    payload-carrying collective with unparsed groups raises."""
+    import pytest
+    from stochqn_tpu.parallel.hlo_stats import collective_ops
+
+    hlo = "\n".join([
+        "  %ar = f32[64]{0} all-reduce(%p), channel_id=1, "
+        "replica_groups={{0,1},{2,3}}, to_apply=%add",
+        "  %cp = f32[32]{0} collective-permute(%q), "
+        "source_target_pairs={{0,1},{1,0}}",
+        "  %ar2 = f32[16]{0} all-reduce(%r), replica_groups={}, "
+        "to_apply=%add",
+    ])
+    ops = collective_ops(hlo)
+    got = [(o.kind, o.payload_bytes, o.group_size) for o in ops]
+    assert ("all-reduce", 64 * 4, 2) in got
+    assert ("collective-permute", 32 * 4, 0) in got
+    assert ("all-reduce", 16 * 4, 0) in got
+    assert len(ops) == 3, got
+
+    with pytest.raises(ValueError, match="unparsed replica_groups"):
+        collective_ops("  %bad = f32[64]{0} all-reduce(%p), to_apply=%add")
