@@ -35,7 +35,8 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: OLBFGSConfig) -> OLBFGSState:
-    return OLBFGSState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16)
+    return OLBFGSState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16,
+                              pairs_interleaved=cfg.pairs_interleaved)
 
 
 def advance(cfg: OLBFGSConfig, state: OLBFGSState, grad: jax.Array,

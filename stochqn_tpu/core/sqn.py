@@ -38,7 +38,8 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 
 
 def init(x0: jax.Array, cfg: SQNConfig) -> SQNState:
-    return SQNState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16)
+    return SQNState.create(x0, cfg.mem_size, pairs_bf16=cfg.pairs_bf16,
+                           pairs_interleaved=cfg.pairs_interleaved)
 
 
 def _resume(st: SQNState, info, x_changed) -> Tuple[SQNState, AdvanceResult]:

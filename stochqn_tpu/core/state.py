@@ -126,6 +126,87 @@ class BFGSMemory:
 
 
 @struct.dataclass
+class BFGSMemoryInterleaved:
+    """:class:`BFGSMemory` with the pair rows stored interleaved.
+
+    ``sy[2i] = s_i``, ``sy[2i + 1] = y_i`` — one ``[2m, n]`` buffer, so a
+    ring commit is ONE contiguous ``[2, n]`` dynamic-update-slice instead of
+    two ``[n]`` row writes into separate buffers, and the incremental Gram
+    update is two contiguous ``[2, .]`` slabs instead of four rows/columns.
+    Motivation: oLBFGS commits a pair EVERY iteration and its per-step
+    budget is dominated by mutated-carry HBM writes (~27 us per ring-row
+    write at the flagship shape — BENCH_NOTES "oLBFGS op budget"); the
+    interleaved layout halves the write count.
+
+    Why ``[2m, n]`` flat and not ``[m, 2, n]``: on TPU the physical tiling
+    follows the two minor dimensions, and a ``[.., 2, n]`` buffer gets a
+    ``T(2, 128)`` tile — only 2 of 8 sublanes used, quartering the
+    effective bandwidth of EVERY streaming pass over the memory (measured:
+    the [m, 2, n] variant ran 0.66x the block layout; the compiled HLO
+    shows the ``T(2,128)`` layout assignment).  ``[2m, n]`` keeps the
+    standard ``T(8, 128)`` tile, and the two-loop needs no reshape at all:
+    the buffer IS ``W`` (in interleaved row order).
+
+    The ``gram`` cache and the collapsed-direction matrices ``c0``/``cg``
+    are kept in INTERLEAVED index order (rows ``[s_0, y_0, s_1, y_1,
+    ...]``); the chronological small-math cache (``perm``/``rho``/
+    triangular inverses/...) is layout-independent.  Same API surface as
+    :class:`BFGSMemory` (``s``/``y`` become strided views); selected via
+    ``pairs_interleaved=True`` on the oLBFGS/SQN configs.  Not supported
+    for adaQN (its diagonal-H0 coupling reads ``y`` rows separately per
+    step, which would force strided gathers; adaQN commits only at
+    boundaries, so the write saving is negligible there anyway).
+    """
+
+    sy: jax.Array         # [2 * mem_size, n]: rows [s_0, y_0, s_1, y_1, ...]
+    gram: jax.Array       # [2m, 2m] cached W W^T, INTERLEAVED order
+    s_pending: jax.Array  # [n]
+    head: jax.Array       # int32
+    count: jax.Array      # int32
+    perm: jax.Array       # chronological small-math cache — see BFGSMemory
+    rho: jax.Array
+    bwd_inv: jax.Array
+    fwd_inv: jax.Array
+    yy_c: jax.Array
+    rl_c: jax.Array
+    gamma: jax.Array
+    c0: jax.Array         # [2m, 2m], INTERLEAVED order
+    cg: jax.Array         # [2m, 2m], INTERLEAVED order
+
+    @classmethod
+    def create(cls, mem_size: int, n: int, dtype=jnp.float32,
+               storage_dtype=None) -> "BFGSMemoryInterleaved":
+        base = BFGSMemory.create(mem_size, n, dtype, storage_dtype)
+        kw = {f: getattr(base, f) for f in
+              ("gram", "s_pending", "head", "count", "perm", "rho",
+               "bwd_inv", "fwd_inv", "yy_c", "rl_c", "gamma", "c0", "cg")}
+        return cls(sy=jnp.zeros((2 * mem_size, n), dtype=base.s.dtype), **kw)
+
+    @property
+    def mem_size(self) -> int:
+        return self.sy.shape[0] // 2
+
+    @property
+    def s(self) -> jax.Array:
+        """Storage-order s rows (a strided view — NOT for hot loops)."""
+        return self.sy[0::2]
+
+    @property
+    def y(self) -> jax.Array:
+        return self.sy[1::2]
+
+    def flush(self) -> "BFGSMemoryInterleaved":
+        zero = jnp.zeros((), dtype=jnp.int32)
+        return self.replace(head=zero, count=zero)
+
+
+def make_bfgs_memory(mem_size: int, n: int, dtype=jnp.float32,
+                     storage_dtype=None, interleaved: bool = False):
+    cls = BFGSMemoryInterleaved if interleaved else BFGSMemory
+    return cls.create(mem_size, n, dtype, storage_dtype)
+
+
+@struct.dataclass
 class FisherMemory:
     """Ring buffer of recent minibatch gradients for adaQN's empirical Fisher.
 
@@ -198,13 +279,15 @@ class OLBFGSState:
 
     @classmethod
     def create(cls, x0: jax.Array, mem_size: int,
-               pairs_bf16: bool = False) -> "OLBFGSState":
+               pairs_bf16: bool = False,
+               pairs_interleaved: bool = False) -> "OLBFGSState":
         x0 = _own(x0)
         n = x0.shape[0]
         st_t = jnp.bfloat16 if pairs_bf16 else None
         return cls(
             x=x0,
-            mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
+            mem=make_bfgs_memory(mem_size, n, x0.dtype, st_t,
+                                 interleaved=pairs_interleaved),
             grad_prev=jnp.zeros((n,), dtype=x0.dtype),
             niter=jnp.zeros((), dtype=jnp.int32),
             section=jnp.zeros((), dtype=jnp.int32),
@@ -231,7 +314,8 @@ class SQNState:
 
     @classmethod
     def create(cls, x0: jax.Array, mem_size: int,
-               pairs_bf16: bool = False) -> "SQNState":
+               pairs_bf16: bool = False,
+               pairs_interleaved: bool = False) -> "SQNState":
         x0 = _own(x0)
         n = x0.shape[0]
         st_t = jnp.bfloat16 if pairs_bf16 else None
@@ -239,7 +323,8 @@ class SQNState:
         # several leaves would be donated twice (XLA error) — see _own
         return cls(
             x=x0,
-            mem=BFGSMemory.create(mem_size, n, x0.dtype, st_t),
+            mem=make_bfgs_memory(mem_size, n, x0.dtype, st_t,
+                                 interleaved=pairs_interleaved),
             grad_prev=jnp.zeros((n,), dtype=x0.dtype),
             x_sum=jnp.zeros((n,), dtype=x0.dtype),
             x_avg_prev=jnp.zeros((n,), dtype=x0.dtype),

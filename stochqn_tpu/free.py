@@ -206,13 +206,18 @@ class oLBFGS_free(_StochQNFree):
 
     def __init__(self, mem_size=10, hess_init=None, min_curvature=1e-4,
                  y_reg=None, check_nan=True, nthreads=-1, use_float=False,
-                 dtype=None, backend="jax"):
+                 dtype=None, backend="jax", pairs_bf16=False,
+                 pairs_interleaved=False):
         super().__init__(backend)
         del nthreads  # parallelism is XLA's (or the compiler's) job here
         self.dtype = _resolve_dtype(use_float, dtype, backend)
+        if backend != "jax" and (pairs_bf16 or pairs_interleaved):
+            raise ValueError("pairs_bf16/pairs_interleaved are TPU-path "
+                             "extras (backend='jax' only)")
         self._cfg = OLBFGSConfig.create(
             mem_size=mem_size, hess_init=hess_init,
-            min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan)
+            min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan,
+            pairs_bf16=pairs_bf16, pairs_interleaved=pairs_interleaved)
         if backend == "jax":
             self._advance_jit = jax.jit(olbfgs.advance, static_argnums=0)
 
@@ -241,14 +246,19 @@ class SQN_free(_StochQNFree):
 
     def __init__(self, mem_size=10, bfgs_upd_freq=20, min_curvature=1e-4,
                  y_reg=None, use_grad_diff=False, check_nan=True, nthreads=-1,
-                 use_float=False, dtype=None, backend="jax"):
+                 use_float=False, dtype=None, backend="jax",
+                 pairs_bf16=False, pairs_interleaved=False):
         super().__init__(backend)
         del nthreads
         self.dtype = _resolve_dtype(use_float, dtype, backend)
+        if backend != "jax" and (pairs_bf16 or pairs_interleaved):
+            raise ValueError("pairs_bf16/pairs_interleaved are TPU-path "
+                             "extras (backend='jax' only)")
         self._cfg = SQNConfig.create(
             mem_size=mem_size, bfgs_upd_freq=bfgs_upd_freq,
             min_curvature=min_curvature, y_reg=y_reg,
-            use_grad_diff=use_grad_diff, check_nan=check_nan)
+            use_grad_diff=use_grad_diff, check_nan=check_nan,
+            pairs_bf16=pairs_bf16, pairs_interleaved=pairs_interleaved)
         if backend == "jax":
             self._advance_jit = jax.jit(sqn.advance, static_argnums=0)
         self._hess_vec = None

@@ -14,8 +14,17 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from stochqn_tpu.core.state import BFGSMemory, FisherMemory
+from stochqn_tpu.core.state import (BFGSMemory, BFGSMemoryInterleaved,
+                                    FisherMemory)
 from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm, _mem_mm
+
+
+# Two [2m]-row orderings of W are in play (selected by the memory class):
+#   block order       b: rows [s_0..s_{m-1}, y_0..y_{m-1}]   (BFGSMemory)
+#   interleaved order k: rows [s_0, y_0, s_1, y_1, ...]      (BFGSMemoryInterleaved)
+# All layout-dependent [2m]-indexed quantities (gram, wg, c0, cg) follow the
+# memory's ordering; conversion needs only static strided slices
+# (gram_int[0::2, 1::2] is the s.y block, etc.), never a gather.
 
 
 def direction_is_bad(direction: jax.Array) -> jax.Array:
@@ -85,54 +94,83 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
         accepted = accepted & enabled
 
     size = mem.mem_size
+    interleaved = isinstance(mem, BFGSMemoryInterleaved)
+    gram_t = mem.gram.dtype
     # Row to write: the candidate on accept, the existing contents on
     # reject (an idempotent rewrite — O(n), not O(m n)).
-    st_t = mem.s.dtype  # may be a narrower storage dtype (pairs_bf16)
-    cur_s = jax.lax.dynamic_index_in_dim(mem.s, mem.head, 0, keepdims=False)
-    cur_y = jax.lax.dynamic_index_in_dim(mem.y, mem.head, 0, keepdims=False)
-    row_s = jnp.where(accepted, s.astype(st_t), cur_s)
-    row_y = jnp.where(accepted, y_cand.astype(st_t), cur_y)
-    new_s = jax.lax.dynamic_update_index_in_dim(mem.s, row_s, mem.head,
-                                                axis=0)
-    new_y = jax.lax.dynamic_update_index_in_dim(mem.y, row_y, mem.head,
-                                                axis=0)
+    if interleaved:
+        st_t = mem.sy.dtype  # may be a narrower storage dtype (pairs_bf16)
+        cur = jax.lax.dynamic_slice_in_dim(mem.sy, 2 * mem.head, 2,
+                                           axis=0)              # [2, n]
+        row_s = jnp.where(accepted, s.astype(st_t), cur[0])
+        row_y = jnp.where(accepted, y_cand.astype(st_t), cur[1])
+        # ONE contiguous [2, n] slab write — the layout's whole point
+        # (oLBFGS commits every iteration; each mutated ring-row write in
+        # the scan carry costs ~27 us at the flagship shape).
+        new_sy = jax.lax.dynamic_update_slice_in_dim(
+            mem.sy, jnp.stack([row_s, row_y]), 2 * mem.head, axis=0)
+        w_new = new_sy                                         # IS [2m, n]
+        p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
+                    gram_t)                                    # [2m, 2]
+        # The touched row/column of W W^T are CONTIGUOUS 2-slabs here (rows
+        # 2h, 2h+1) — two dynamic_update_slices instead of four.  The [2, 2]
+        # intersection is symmetric, so update order is immaterial.
+        zero = jnp.zeros((), mem.head.dtype)
+        gram = jax.lax.dynamic_update_slice(
+            mem.gram, p.astype(gram_t), (zero, 2 * mem.head))
+        gram = jax.lax.dynamic_update_slice(
+            gram, p.T.astype(gram_t), (2 * mem.head, zero))
+        buf_updates = dict(sy=new_sy)
+    else:
+        st_t = mem.s.dtype
+        cur_s = jax.lax.dynamic_index_in_dim(mem.s, mem.head, 0,
+                                             keepdims=False)
+        cur_y = jax.lax.dynamic_index_in_dim(mem.y, mem.head, 0,
+                                             keepdims=False)
+        row_s = jnp.where(accepted, s.astype(st_t), cur_s)
+        row_y = jnp.where(accepted, y_cand.astype(st_t), cur_y)
+        new_s = jax.lax.dynamic_update_index_in_dim(mem.s, row_s, mem.head,
+                                                    axis=0)
+        new_y = jax.lax.dynamic_update_index_in_dim(mem.y, row_y, mem.head,
+                                                    axis=0)
 
-    # Incremental Gram update: one [2m, n] @ [n, 2] pass refreshes the row
-    # and column of W W^T touched by the written pair.  On reject this
-    # recomputes the existing entries bit-identically.
-    gram_t = mem.gram.dtype
-    w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
-    p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
-                gram_t)                                      # [2m, 2]
-    gram = mem.gram
-    gram = jax.lax.dynamic_update_index_in_dim(
-        gram, p[:, 0].astype(gram_t), mem.head, axis=1)
-    gram = jax.lax.dynamic_update_index_in_dim(
-        gram, p[:, 1].astype(gram_t), size + mem.head, axis=1)
-    gram = jax.lax.dynamic_update_index_in_dim(
-        gram, p[:, 0].astype(gram_t), mem.head, axis=0)
-    gram = jax.lax.dynamic_update_index_in_dim(
-        gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
+        # Incremental Gram update: one [2m, n] @ [n, 2] pass refreshes the
+        # row and column of W W^T touched by the written pair.  On reject
+        # this recomputes the existing entries bit-identically.
+        w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
+        p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
+                    gram_t)                                      # [2m, 2]
+        gram = mem.gram
+        gram = jax.lax.dynamic_update_index_in_dim(
+            gram, p[:, 0].astype(gram_t), mem.head, axis=1)
+        gram = jax.lax.dynamic_update_index_in_dim(
+            gram, p[:, 1].astype(gram_t), size + mem.head, axis=1)
+        gram = jax.lax.dynamic_update_index_in_dim(
+            gram, p[:, 0].astype(gram_t), mem.head, axis=0)
+        gram = jax.lax.dynamic_update_index_in_dim(
+            gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
+        buf_updates = dict(s=new_s, y=new_y)
 
     new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
     new_count = jnp.where(accepted, jnp.minimum(mem.count + 1, size),
                           mem.count)
     cache = _small_cache(gram, new_head, new_count, size,
-                         direction_cache=direction_cache)
+                         direction_cache=direction_cache,
+                         interleaved=interleaved)
 
     new_mem = mem.replace(
-        s=new_s,
-        y=new_y,
         gram=gram,
         head=new_head,
         count=new_count,
+        **buf_updates,
         **cache,
     )
     return new_mem, accepted
 
 
 def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
-                 mem_size: int, direction_cache: bool = False) -> dict:
+                 mem_size: int, direction_cache: bool = False,
+                 interleaved: bool = False) -> dict:
     """Commit-time precomputation of everything in the two-loop that does
     not depend on the incoming gradient: chronological permutation, rho,
     the inverted backward/forward triangular systems, the chronological
@@ -140,6 +178,10 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
 
     Amortized over ``upd_freq`` steps, this turns the per-step small math
     into three ``m``-sized matvecs (see ``two_loop``'s cached fast path).
+
+    ``interleaved`` says the incoming ``gram`` (and the produced ``c0``/
+    ``cg``) use the interleaved [2m] row order; the chronological outputs
+    (perm/rho/inverses/yy_c/rl_c/gamma) are layout-independent.
     """
     m = mem_size
     acc_t = gram.dtype
@@ -148,8 +190,12 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     valid = cidx < count
     validf = valid.astype(acc_t)
 
-    sy = gram[:m, m:][perm][:, perm]
-    yy = gram[m:, m:][perm][:, perm]
+    if interleaved:
+        sy = gram[0::2, 1::2][perm][:, perm]
+        yy = gram[1::2, 1::2][perm][:, perm]
+    else:
+        sy = gram[:m, m:][perm][:, perm]
+        yy = gram[m:, m:][perm][:, perm]
     sy_diag = jnp.diagonal(sy)
     rho = validf / jnp.where(valid, sy_diag, jnp.ones_like(sy_diag))
 
@@ -209,6 +255,16 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     cg_ss = mm(p_mat.T, mm(fwd_inv, rho[:, None] * mm(yy_m, a1)))
     cg_sy = -mm(p_mat.T, mm(fwd_inv, drho_p))
     cg_ys = -mm(p_mat.T, a1)
+
+    if interleaved:
+        # Same blocks scattered to the interleaved row order via static
+        # strided writes (C_int[2i, 2j] = C_blk[i, j], etc. — no gather).
+        z2m = jnp.zeros((2 * m, 2 * m), acc_t)
+        out["c0"] = z2m.at[0::2, 0::2].set(c0_ss)
+        out["cg"] = (z2m.at[0::2, 0::2].set(cg_ss)
+                     .at[0::2, 1::2].set(cg_sy)
+                     .at[1::2, 0::2].set(cg_ys))
+        return out
 
     zero_m = jnp.zeros((m, m), acc_t)
     out["c0"] = jnp.block([[c0_ss, zero_m], [zero_m, zero_m]])

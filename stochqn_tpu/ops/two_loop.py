@@ -279,8 +279,23 @@ def two_loop_cached(
     if coupling not in ("matvec", "gram"):
         raise ValueError(f"coupling must be 'matvec' or 'gram', "
                          f"got {coupling!r}")
-    s_mem, y_mem = mem.s, mem.y
-    m, n = s_mem.shape
+    # BFGSMemoryInterleaved stores one [2m, n] buffer whose rows are W in
+    # INTERLEAVED order [s_0, y_0, s_1, y_1, ...] — and so are its cached
+    # c0/cg — handled by the layout branches below.  Duck-typed on the
+    # field to avoid an ops -> core import cycle.
+    interleaved = hasattr(mem, "sy")
+    if interleaved:
+        if diag is not None:
+            raise ValueError(
+                "pairs_interleaved does not support a diagonal H0 (adaQN) "
+                "— see core.state.BFGSMemoryInterleaved")
+        m = mem.sy.shape[0] // 2
+        w_int = mem.sy
+        s_mem = y_mem = None
+    else:
+        s_mem, y_mem = mem.s, mem.y
+        m = s_mem.shape[0]
+        w_int = None
     dtype = grad.dtype
     acc_t = mem.bwd_inv.dtype
     perm = mem.perm
@@ -301,7 +316,9 @@ def two_loop_cached(
             gamma = mem.gamma
         gamma = jnp.where(has_pairs, gamma, jnp.ones_like(gamma))
         c = mem.c0 + gamma * mem.cg
-        w = jnp.concatenate([s_mem, y_mem], axis=0)
+        # c0/cg were cached by commit_pair in the memory's own row order,
+        # so both layouts run the identical three-op chain here.
+        w = w_int if interleaved else jnp.concatenate([s_mem, y_mem], axis=0)
         wg = _mem_mm(w, grad, acc_t)
         u = jnp.matmul(c, wg.astype(acc_t), preferred_element_type=acc_t,
                        precision=PRECISION)
@@ -322,7 +339,7 @@ def two_loop_cached(
         # the auto default no longer enables it.  ``use_pallas=True``
         # still forces the kernel (which then uses the ydg/ydy coupling).
         use_pallas = False
-    pallas_ok = (use_pallas and dtype == jnp.float32
+    pallas_ok = (use_pallas and not interleaved and dtype == jnp.float32
                  and s_mem.dtype == jnp.float32)
     if pallas_ok and diag is not None:
         from stochqn_tpu.ops.pallas import two_loop_kernel as tlk
@@ -330,11 +347,15 @@ def two_loop_cached(
             s_mem, y_mem, diag, grad, interpret=pallas_interpret)
         wg = wg.astype(acc_t)
     else:
-        w = jnp.concatenate([s_mem, y_mem], axis=0)
+        w = w_int if interleaved else jnp.concatenate([s_mem, y_mem], axis=0)
         wg = _mem_mm(w, grad, acc_t)
 
-    sg = wg[:m][perm]
-    yg = wg[m:][perm]
+    if interleaved:
+        sg = wg[0::2][perm]
+        yg = wg[1::2][perm]
+    else:
+        sg = wg[:m][perm]
+        yg = wg[m:][perm]
 
     alpha = jnp.matmul(mem.bwd_inv, mem.rho * sg,
                        preferred_element_type=acc_t,
@@ -380,6 +401,17 @@ def two_loop_cached(
                     precision=PRECISION)
     beta = jnp.matmul(mem.fwd_inv, rhs, preferred_element_type=acc_t,
                     precision=PRECISION)
+
+    if interleaved:
+        # Single [2m, n] expansion pass:  d = gamma g + u @ W  with
+        #   u[2i]   = (alpha - beta) scattered to storage order  (S rows)
+        #   u[2i+1] = -gamma * alpha scattered                   (Y rows)
+        # (invalid chronological slots carry exact zeros — rho masking).
+        u = (jnp.zeros((2 * m,), acc_t)
+             .at[2 * perm].set(alpha - beta)
+             .at[2 * perm + 1].set(-gamma * alpha))
+        d = gamma * g_acc + _mem_mm(u, w, acc_t)
+        return jnp.where(has_pairs, d, g_acc).astype(dtype)
 
     coeff_s = jnp.zeros((m,), acc_t).at[perm].set(alpha - beta)
     st_coeff_s = _mem_mm(coeff_s, s_mem, acc_t)

@@ -67,7 +67,7 @@ def batch_sharding(mesh: Mesh, ndim: int, example_axis: int = 0
 # happens to have n == mem_size or n == 2*mem_size, which would add needless
 # per-step collectives.
 _PARAM_AXIS_FIELDS = frozenset({
-    "x", "s", "y", "s_pending", "f", "grad_prev",
+    "x", "s", "y", "sy", "s_pending", "f", "grad_prev",
     "x_sum", "x_avg_prev", "grad_sum_sq",
 })
 
