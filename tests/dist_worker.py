@@ -25,7 +25,9 @@ pid, nproc, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                              sys.argv[3], sys.argv[4])
 optimizer = sys.argv[5] if len(sys.argv) > 5 else "SQN"
 topology = sys.argv[6] if len(sys.argv) > 6 else "dp"
-os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=4 "
+# local virtual devices per process (4-proc cells use 2 each -> 8 global)
+ndev = int(os.environ.get("DIST_TEST_LOCAL_DEVICES", "4"))
+os.environ["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={ndev} "
                            "--xla_cpu_max_isa=AVX2")
 
 import jax

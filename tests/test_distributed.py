@@ -43,21 +43,22 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.parametrize("topology", dc.TOPOLOGIES)
-@pytest.mark.parametrize("optimizer", dc.OPTIMIZERS)
-def test_two_process_epoch(tmp_path, optimizer, topology):
+def _run_cluster(tmp_path, optimizer, topology, nproc, local_devices):
+    """Spawn ``nproc`` workers (``local_devices`` virtual CPU devices each),
+    wait, and assert cross-process identity + single-process equivalence."""
     port = _free_port()
-    outs = [tmp_path / f"w{i}.txt" for i in range(2)]
+    outs = [tmp_path / f"w{i}.txt" for i in range(nproc)]
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)          # workers set their own
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["DIST_TEST_LOCAL_DEVICES"] = str(local_devices)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), "2", str(port), str(outs[i]),
-             optimizer, topology],
+            [sys.executable, WORKER, str(i), str(nproc), str(port),
+             str(outs[i]), optimizer, topology],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
+        for i in range(nproc)
     ]
     logs = [p.communicate(timeout=360)[0] for p in procs]
     for p, log in zip(procs, logs):
@@ -67,7 +68,24 @@ def test_two_process_epoch(tmp_path, optimizer, topology):
           for out in outs]
     # replicated/reassembled state: every process must hold the identical
     # global iterate
-    np.testing.assert_array_equal(xs[0], xs[1])
+    for x in xs[1:]:
+        np.testing.assert_array_equal(xs[0], x)
     # ...and the sharding must be semantically invisible
     ref = dc.run_single_process(optimizer)
     np.testing.assert_allclose(xs[0], ref, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("topology", dc.TOPOLOGIES)
+@pytest.mark.parametrize("optimizer", dc.OPTIMIZERS)
+def test_two_process_epoch(tmp_path, optimizer, topology):
+    _run_cluster(tmp_path, optimizer, topology, nproc=2, local_devices=4)
+
+
+@pytest.mark.parametrize("topology", dc.TOPOLOGIES)
+def test_four_process_epoch(tmp_path, topology):
+    """>2-process cell: collective group size 4 along the cross-process
+    axis catches group-size-dependent bugs (reduction trees, ring order)
+    that any pairwise exchange is insensitive to.  4 procs x 2 local
+    devices = the same 8-device global mesh as the 2-process cells, so the
+    single-process reference trajectory is unchanged."""
+    _run_cluster(tmp_path, "SQN", topology, nproc=4, local_devices=2)
