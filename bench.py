@@ -118,7 +118,14 @@ def model_costs():
     vec_bytes = 8 * n * 4
     boundary_bytes = (2 * (big * f * 4) + 2 * (two_m * n * 4)) / L
     bytes_per_iter = pair_bytes + batch_bytes + vec_bytes + boundary_bytes
-    return flops_per_iter, bytes_per_iter
+    # Residency-aware floor: at this n the loop-carried pair memory is
+    # VMEM-resident (XLA parks it there — BENCH_NOTES kernel-study
+    # finding 1), so the two per-step passes over it and the boundary
+    # commit never touch HBM; the bytes that MUST stream from HBM are the
+    # batch + the n-vectors.  This is the denominator for a utilization
+    # that cannot exceed 100% by construction.
+    bytes_hbm_min = batch_bytes + vec_bytes + 2 * (big * f * 4) / L
+    return flops_per_iter, bytes_per_iter, bytes_hbm_min
 
 
 def build():
@@ -149,8 +156,12 @@ def main():
         state, _ = epoch_fn(state, data, eta, aligned=True)
     float(jnp.sum(state.x))
 
+    # one extra leading rep, reported separately and EXCLUDED from the
+    # median/spread: the first timed rep after compile consistently runs
+    # ~8% slow (tunnel/allocator warm-in — BENCH_r03.json showed 15,992 vs
+    # ~17,450 steady), which only inflated the reported spread
     reps = []
-    for _ in range(N_REPS):
+    for _ in range(N_REPS + 1):
         t0 = time.perf_counter()
         for _ in range(EPOCHS_PER_REP):
             state, infos = epoch_fn(state, data, eta, aligned=True)
@@ -164,6 +175,7 @@ def main():
             raise RuntimeError("NaN iterate — bench invalid")
         reps.append(EPOCHS_PER_REP * NUM_BATCHES / dt)
 
+    cold_rep, reps = reps[0], reps[1:]
     med = statistics.median(reps)
     spread_pct = 100.0 * (max(reps) - min(reps)) / med
 
@@ -191,16 +203,22 @@ def main():
             baseline_source = "measured (BASELINE_MEASURED.json)"
     vs_baseline = med / ref_ips
 
-    flops_per_iter, bytes_per_iter = model_costs()
+    flops_per_iter, bytes_per_iter, bytes_hbm_min = model_costs()
     kind = jax.devices()[0].device_kind
     peak_flops, peak_bw = PEAKS.get(kind, (197e12, 819e9))
     tflops = med * flops_per_iter / 1e12
     mfu_pct = 100.0 * med * flops_per_iter / peak_flops
-    # modeled-traffic rate vs HBM peak: >100% means XLA parked the
-    # loop-invariant pair memory in VMEM (it does at this n — BENCH_NOTES
-    # kernel-study finding 1), so part of the modeled bytes never touch
-    # HBM and the engine runs past the HBM roofline
-    hbm_util_pct = 100.0 * med * bytes_per_iter / peak_bw
+    # Two roofline floors (us/iter), bracketing the pair-memory residency:
+    #   hbm-resident — every modeled byte streams from HBM
+    #   vmem-resident — pair passes stay on-chip; only batch + n-vectors
+    #     stream (the measured regime at this n: the engine runs FASTER
+    #     than the hbm-resident floor, which is how we know)
+    # hbm_util_pct uses the vmem-resident denominator, so it is a true
+    # utilization (<= 100 by construction).
+    measured_us = 1e6 / med
+    floor_hbm_us = bytes_per_iter / peak_bw * 1e6
+    floor_vmem_us = bytes_hbm_min / peak_bw * 1e6
+    hbm_util_pct = 100.0 * med * bytes_hbm_min / peak_bw
 
     print(json.dumps({
         "metric": "sqn_bibtex_iters_per_s",
@@ -208,17 +226,24 @@ def main():
         "unit": "iters/s",
         "vs_baseline": round(vs_baseline, 3),
         "reps": [round(r, 1) for r in reps],
+        "cold_rep_iters_per_s": round(cold_rep, 1),
         "spread_pct": round(spread_pct, 1),
         "device": kind,
         "model_tflops_per_s": round(tflops, 3),
         "mfu_pct_bf16_peak": round(mfu_pct, 2),
         "hbm_util_pct": round(hbm_util_pct, 1),
+        "us_per_iter": round(measured_us, 1),
+        "roofline_floor_us_vmem_resident": round(floor_vmem_us, 1),
+        "roofline_floor_us_hbm_resident": round(floor_hbm_us, 1),
         "flops_per_iter": int(flops_per_iter),
-        "hbm_bytes_per_iter": int(bytes_per_iter),
+        "hbm_bytes_per_iter_if_hbm_resident": int(bytes_per_iter),
+        "hbm_bytes_per_iter_vmem_resident": int(bytes_hbm_min),
         "baseline_iters_per_s_f32": round(ref_ips, 1),
         "baseline_source": baseline_source,
-        "note": ("hbm_util_pct is modeled traffic vs HBM peak; >100% = "
-                 "the pair memory is VMEM-resident at this n"),
+        "note": ("hbm_util_pct counts only bytes that must stream from HBM "
+                 "(pair memory is VMEM-resident at this n: measured "
+                 "us/iter beats the hbm-resident floor); cold_rep is the "
+                 "first timed rep, excluded from the median/spread"),
     }))
 
 
