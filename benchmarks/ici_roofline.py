@@ -241,15 +241,33 @@ def phase_model():
     dp = bytes_rec["dp_8x1"]
     t_ici = (_allreduce_time(dp["per_step_bytes"])
              + _allreduce_time(dp["boundary_bytes"], n_dependent=1) / L)
+
+    # Measured overlap evidence (benchmarks/overlap_ablation.py): the
+    # 2-process cluster-vs-ablated differencing gives the fraction of the
+    # raw collective cost that stays EXPOSED after the runtime overlaps /
+    # pipelines it.  On that harness the raw localhost all-reduce is
+    # ~20 ms core-pinned while the exposed cost at depth 36 is ~58 ms/step
+    # across an L=4 window with 2 collectives... the transferable number
+    # is the efficiency itself, not the absolute cost; the model below
+    # therefore reports BOTH bounds and lets the measured cells locate
+    # reality between them.
+    overlap = scaling.get("overlap_ablation", {})
+    measured_eff = {
+        k: v.get("weak_scaling_eff_median")
+        for k, v in overlap.items() if isinstance(v, dict) and "pairs" in v
+    } or None
+
     table = {}
     for bs, us in times.items():
         if bs == "note" or bs == "device":
             continue
         t = float(us) * 1e-6
-        eff = t / (t + t_ici)
+        eff = t / (t + t_ici)                 # unoverlapped floor
+        eff_ceil = t / max(t, t_ici)          # perfect-overlap ceiling
         table[bs] = {"step_us": float(us),
                      "modeled_ici_us": round(t_ici * 1e6, 1),
-                     "modeled_weak_scaling_eff": round(eff, 3)}
+                     "modeled_weak_scaling_eff": round(eff, 3),
+                     "overlapped_ceiling_eff": round(eff_ceil, 3)}
     holds = [bs for bs, r in table.items()
              if r["modeled_weak_scaling_eff"] >= 0.9]
     # The >=0.9 target is a statement about workloads whose per-step
@@ -267,13 +285,20 @@ def phase_model():
                  "modeled_weak_scaling_eff": round(
                      mlp_t / (mlp_t + mlp_ici), 3)}
     roof["dp_efficiency_model"] = {
-        "note": ("UNOVERLAPPED floor: eff = t_step/(t_step + T_ici), "
-                 "T_ici = ring all-reduce of the per-step collective "
-                 "payload on a v5e axis (W=9e10 B/s bidi, 1 us/hop, "
-                 "ring of 8) + boundary/L. XLA overlap raises this."),
+        "note": ("Bracketed model: modeled_weak_scaling_eff is the "
+                 "UNOVERLAPPED floor eff = t_step/(t_step + T_ici); "
+                 "overlapped_ceiling_eff = t_step/max(t_step, T_ici) is "
+                 "the perfect-overlap bound.  T_ici = ring all-reduce of "
+                 "the per-step collective payload on a v5e axis (W=9e10 "
+                 "B/s bidi, 1 us/hop, ring of 8) + boundary/L.  Where "
+                 "reality falls between the bounds is MEASURED on the "
+                 "2-process cluster (SCALING.json['overlap_ablation']: "
+                 "exposed_collective_us from same-runtime collective "
+                 "ablation; the compute-dominated cell measures >=0.9)."),
         "per_device_batch": table,
         "target_0.9_holds_at_bs": holds,
         "adaqn_mlp_workload": table_mlp,
+        "measured_overlap_eff_2proc": measured_eff,
     }
 
     # param-sharded: latency-bound small psums; per-device n sweep from

@@ -34,6 +34,7 @@ def test_scaling_json_sections():
         "multiprocess_weak_scaling",
         "multiprocess_weak_scaling_compute_dominated",
         "ici_roofline",
+        "overlap_ablation",
     }
     missing = cited - set(scaling)
     assert not missing, (
@@ -42,6 +43,11 @@ def test_scaling_json_sections():
     roof = scaling["ici_roofline"]
     assert {"collective_bytes_flagship", "measured_step_time_us",
             "dp_efficiency_model"} <= set(roof)
+    # round-4 measured-overlap evidence (benchmarks/overlap_ablation.py)
+    ov = scaling["overlap_ablation"]
+    for depth_key in ("depth_36", "depth_144"):
+        assert {"pairs", "exposed_collective_us_median",
+                "weak_scaling_eff_median"} <= set(ov[depth_key])
 
 
 def test_html_docs_build(tmp_path):
