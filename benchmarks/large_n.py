@@ -54,9 +54,15 @@ def main():
         variants = (True,)
     elif "--f32-only" in sys.argv:
         variants = (False,)
+    # --interleaved: flat [2m, n] pair layout.  Besides the oLBFGS write
+    # win (BENCH_NOTES), at the capacity ceiling it removes the block
+    # layout's concatenate([s, y]) operand, a second full-size pair-memory
+    # buffer XLA materializes in the commit/projection programs.
+    interleaved = "--interleaved" in sys.argv
     for bf16 in variants:
         cfg = SQNConfig.create(mem_size=MEM, bfgs_upd_freq=L,
-                               use_grad_diff=True, pairs_bf16=bf16)
+                               use_grad_diff=True, pairs_bf16=bf16,
+                               pairs_interleaved=interleaved)
         tr = FusedTrainer("SQN", cfg, grad_fn, donate=True)
         state = tr.init(x0)
         # donated state carry: without it the epoch dispatch holds
