@@ -578,12 +578,13 @@ class oLBFGS(_GuidedBase):
                  callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
                  hess_init=None, min_curvature=1e-4, y_reg=None,
                  check_nan=True, nthreads=-1, use_float=False, dtype=None,
-                 backend="jax"):
+                 backend="jax", pairs_bf16=False, pairs_interleaved=False):
         self.optimizer = oLBFGS_free(
             mem_size=mem_size, hess_init=hess_init,
             min_curvature=min_curvature, y_reg=y_reg, check_nan=check_nan,
             nthreads=nthreads, use_float=use_float, dtype=dtype,
-            backend=backend)
+            backend=backend, pairs_bf16=pairs_bf16,
+            pairs_interleaved=pairs_interleaved)
         self._setup_common(x0, grad_fun, obj_fun, pred_fun, None,
                            batches_per_epoch, step_size, decr_step_size,
                            shuffle_data, random_state, nepochs, valset_frac,
@@ -603,7 +604,8 @@ class SQN(_GuidedBase):
                  callback_iter=None, kwargs_cb={}, verbose=True, mem_size=10,
                  bfgs_upd_freq=20, min_curvature=1e-4, y_reg=None,
                  use_grad_diff=False, check_nan=True, nthreads=-1,
-                 use_float=False, dtype=None, backend="jax"):
+                 use_float=False, dtype=None, backend="jax",
+                 pairs_bf16=False, pairs_interleaved=False):
         if not use_grad_diff and hess_vec_fun is None:
             raise ValueError("Without 'use_grad_diff', must provide "
                              "'hess_vec_fun'.")
@@ -615,7 +617,8 @@ class SQN(_GuidedBase):
             min_curvature=min_curvature, y_reg=y_reg,
             use_grad_diff=use_grad_diff, check_nan=check_nan,
             nthreads=nthreads, use_float=use_float, dtype=dtype,
-            backend=backend)
+            backend=backend, pairs_bf16=pairs_bf16,
+            pairs_interleaved=pairs_interleaved)
         self._setup_common(x0, grad_fun, obj_fun, pred_fun, hess_vec_fun,
                            batches_per_epoch, step_size, decr_step_size,
                            shuffle_data, random_state, nepochs, valset_frac,

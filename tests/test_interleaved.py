@@ -121,6 +121,29 @@ def test_fused_trajectory_matches_block_layout(rng, optimizer, cfg_kw):
     np.testing.assert_allclose(xs[True], xs[False], rtol=1e-4, atol=1e-7)
 
 
+def test_knob_reaches_guided_and_free(rng):
+    """pairs_interleaved threads through the public APIs down to the
+    memory class (free-mode, guided oLBFGS/SQN)."""
+    from stochqn_tpu.free import oLBFGS_free
+    from stochqn_tpu.guided import SQN as GuidedSQN
+    from stochqn_tpu.guided import oLBFGS as GuidedOLBFGS
+
+    opt = oLBFGS_free(mem_size=3, pairs_interleaved=True)
+    opt.run_optimizer(np.zeros(4), 1e-3)
+    assert isinstance(opt.state.mem, BFGSMemoryInterleaved)
+
+    g = GuidedOLBFGS(x0=np.zeros(4), grad_fun=lambda x, X, y, w: x,
+                     pairs_interleaved=True, verbose=False)
+    assert g.optimizer._cfg.pairs_interleaved
+    s = GuidedSQN(x0=np.zeros(4), grad_fun=lambda x, X, y, w: x,
+                  use_grad_diff=True, pairs_interleaved=True, verbose=False)
+    assert s.optimizer._cfg.pairs_interleaved
+
+    # native backend: TPU-path extras must be rejected, not ignored
+    with pytest.raises(ValueError, match="backend"):
+        oLBFGS_free(backend="native", pairs_interleaved=True)
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     from stochqn_tpu.utils.checkpoint import load_state, save_state
     tr = _olbfgs_trainer(True)
