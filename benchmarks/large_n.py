@@ -123,8 +123,48 @@ def main_adaqn():
         print(f"{tag}: {dt / B * 1e6:8.1f} us/iter  ({B / dt:6.0f} iters/s)")
 
 
+def main_olbfgs():
+    """oLBFGS at large n: the every-iteration commit regime, where the
+    interleaved [2m, n] layout's single-slab ring write and concat-free
+    projection matter most.  Block vs interleaved, f32 and bf16."""
+    from stochqn_tpu.core.config import OLBFGSConfig
+
+    rng = np.random.default_rng(0)
+    targets = jnp.asarray(rng.standard_normal((B, 1)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal(N) * 0.1, jnp.float32)
+
+    def grad_fn(x, batch):
+        diag = 0.5 + 1.5 * (jax.lax.iota(jnp.float32, N) / N)
+        t = jnp.mean(batch)
+        return diag * (x - t)
+
+    for bf16 in (False, True):
+        for interleaved in (False, True):
+            cfg = OLBFGSConfig.create(mem_size=MEM, min_curvature=None,
+                                      pairs_bf16=bf16,
+                                      pairs_interleaved=interleaved)
+            tr = FusedTrainer("oLBFGS", cfg, grad_fn, donate=True)
+            state = tr.init(x0)
+            ep = tr.jit_epoch()
+            state, _ = ep(state, targets, jnp.float32(1e-2))
+            float(jnp.sum(state.x))
+            t0 = time.perf_counter()
+            for _ in range(3):
+                state, _ = ep(state, targets, jnp.float32(1e-2))
+            float(jnp.sum(state.x))
+            dt = (time.perf_counter() - t0) / 3
+            tag = (f"olbfgs pairs_{'bf16' if bf16 else 'f32 '} "
+                   f"{'interleaved' if interleaved else 'block      '}")
+            print(f"{tag}: {dt / B * 1e6:8.1f} us/iter  "
+                  f"({B / dt:6.0f} iters/s)")
+
+
 if __name__ == "__main__":
-    if "--adaqn-only" not in sys.argv:
-        main()
-    if "--sqn-only" not in sys.argv:
-        main_adaqn()
+    only = [a for a in sys.argv[1:] if a.endswith("-only")]
+    if "--olbfgs-only" in sys.argv:
+        main_olbfgs()
+    else:
+        if "--adaqn-only" not in sys.argv:
+            main()
+        if "--sqn-only" not in sys.argv:
+            main_adaqn()
