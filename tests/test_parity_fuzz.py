@@ -116,23 +116,27 @@ def _lockstep(reflib, ours, run_c, feed_c, x_c, x_j, task, info,
 
 
 OLBFGS_CONFIGS = [
-    # (mem_size, hess_init, min_curvature, y_reg)
-    (1, None, None, None),
-    (3, None, 1e-4, None),
-    (7, 0.5, None, None),
-    (3, 1.5, 1e-4, 1e-2),
-    (5, None, None, 1e-2),
-    (2, 0.1, 1e-4, None),
+    # (mem_size, hess_init, min_curvature, y_reg, pairs_interleaved)
+    (1, None, None, None, False),
+    (3, None, 1e-4, None, False),
+    (7, 0.5, None, None, False),
+    (3, 1.5, 1e-4, 1e-2, False),
+    (5, None, None, 1e-2, False),
+    (2, 0.1, 1e-4, None, False),
+    # interleaved [2m, n] layout: must stay in reference lockstep too
+    # (f64 reduction-order deltas ~1e-15 << the 1e-7 tolerance)
+    (3, None, 1e-4, None, True),
+    (5, None, None, 1e-2, True),
 ]
 
 
-@pytest.mark.parametrize("mem,h0,mc,yreg", OLBFGS_CONFIGS)
-def test_fuzz_olbfgs(reflib, mem, h0, mc, yreg):
+@pytest.mark.parametrize("mem,h0,mc,yreg,ilv", OLBFGS_CONFIGS)
+def test_fuzz_olbfgs(reflib, mem, h0, mc, yreg, ilv):
     n, steps, eta = 6, 60, 0.05
     a, centers, x0 = _problem(seed=100 + mem, n=n)
     from stochqn_tpu.free import oLBFGS_free
     ours = oLBFGS_free(mem_size=mem, hess_init=h0, min_curvature=mc,
-                       y_reg=yreg)
+                       y_reg=yreg, pairs_interleaved=ilv)
     x_j, x_c = x0.copy(), x0.copy()
     grad_c = np.zeros(n)
     reqp, task, info = _dp(), ctypes.c_int(0), ctypes.c_int(0)
@@ -156,25 +160,28 @@ def test_fuzz_olbfgs(reflib, mem, h0, mc, yreg):
 
 
 SQN_CONFIGS = [
-    # (mem_size, upd_freq, use_grad_diff, min_curvature, y_reg)
-    (2, 2, False, None, None),
-    (5, 3, False, 1e-4, None),
-    (3, 7, False, None, 1e-2),
-    (1, 4, False, 1e-4, None),
-    (2, 2, True, None, None),
-    (4, 3, True, 1e-4, 1e-2),
-    (3, 5, True, None, None),
-    (6, 10, True, None, None),
+    # (mem_size, upd_freq, use_grad_diff, min_curvature, y_reg, interleaved)
+    (2, 2, False, None, None, False),
+    (5, 3, False, 1e-4, None, False),
+    (3, 7, False, None, 1e-2, False),
+    (1, 4, False, 1e-4, None, False),
+    (2, 2, True, None, None, False),
+    (4, 3, True, 1e-4, 1e-2, False),
+    (3, 5, True, None, None, False),
+    (6, 10, True, None, None, False),
+    # interleaved layout in reference lockstep (see OLBFGS_CONFIGS note)
+    (5, 3, False, 1e-4, None, True),
+    (4, 3, True, 1e-4, 1e-2, True),
 ]
 
 
-@pytest.mark.parametrize("mem,L,ugd,mc,yreg", SQN_CONFIGS)
-def test_fuzz_sqn(reflib, mem, L, ugd, mc, yreg):
+@pytest.mark.parametrize("mem,L,ugd,mc,yreg,ilv", SQN_CONFIGS)
+def test_fuzz_sqn(reflib, mem, L, ugd, mc, yreg, ilv):
     n, steps, eta = 6, 70, 0.05
     a, centers, x0 = _problem(seed=200 + mem * 10 + L, n=n)
     from stochqn_tpu.free import SQN_free
     ours = SQN_free(mem_size=mem, bfgs_upd_freq=L, min_curvature=mc,
-                    y_reg=yreg, use_grad_diff=ugd)
+                    y_reg=yreg, use_grad_diff=ugd, pairs_interleaved=ilv)
     x_j, x_c = x0.copy(), x0.copy()
     grad_c, hv_c = np.zeros(n), np.zeros(n)
     reqp, reqv = _dp(), _dp()
