@@ -148,12 +148,21 @@ def build():
 
 def main():
     trainer, state, data = build()
-    epoch_fn = trainer.jit_epoch()   # state carry donated (in-place pairs)
+    # One device program per rep (EPOCHS_PER_REP epochs inside a single
+    # lax.scan dispatch — FusedTrainer.jit_epochs).  An interleaved A/B on
+    # this tunnel measured PARITY with per-epoch dispatches at 20-epoch
+    # reps (17.4k vs 17.2k iters/s, within rep noise — BENCH_NOTES
+    # "dispatch amortization A/B"): the async dispatch pipeline already
+    # hides the per-epoch round trips here.  Single dispatch is kept
+    # because it makes each timed rep one device program (no host jitter
+    # inside the window) and is the recommended API for epoch-invariant
+    # schedules.
     eta = jnp.asarray(STEP, DTYPE)
 
-    # warmup / compile (2 epochs: the second warms steady-state caches)
-    for _ in range(2):
-        state, _ = epoch_fn(state, data, eta, aligned=True)
+    # warmup / compile (one full-rep program: same static nepochs as the
+    # timed reps, so nothing recompiles inside the timing loop)
+    state, _ = epochs_fn(state, data, eta, nepochs=EPOCHS_PER_REP,
+                         aligned=True)
     float(jnp.sum(state.x))
 
     # one extra leading rep, reported separately and EXCLUDED from the
@@ -163,8 +172,8 @@ def main():
     reps = []
     for _ in range(N_REPS + 1):
         t0 = time.perf_counter()
-        for _ in range(EPOCHS_PER_REP):
-            state, infos = epoch_fn(state, data, eta, aligned=True)
+        state, infos = epochs_fn(state, data, eta,
+                                 nepochs=EPOCHS_PER_REP, aligned=True)
         # materialize a scalar (D2H) as the completion barrier:
         # block_until_ready through the tunnel has been observed returning
         # before the remote execution actually ran; only a data read is a

@@ -39,6 +39,10 @@ def main():
     variants = {
         "oLBFGS": FusedTrainer("oLBFGS", OLBFGSConfig.create(mem_size=10),
                                grad_fn, donate=True),
+        "oLBFGS (interleaved)": FusedTrainer(
+            "oLBFGS", OLBFGSConfig.create(mem_size=10,
+                                          pairs_interleaved=True),
+            grad_fn, donate=True),
         "SQN (jvp hess-vec)": FusedTrainer(
             "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L), grad_fn, donate=True),
         "SQN (grad-diff)": FusedTrainer(

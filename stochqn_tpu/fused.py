@@ -478,6 +478,8 @@ class FusedTrainer:
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
+    _epochs_jit: Any = dataclasses.field(default=None, repr=False,
+                                         compare=False)
 
     def __post_init__(self):
         kind = self.optimizer
@@ -650,6 +652,40 @@ class FusedTrainer:
                 jax.jit(self.epoch, static_argnames=("aligned",),
                         donate_argnums=donate))
         return self._epoch_jit
+
+    def jit_epochs(self):
+        """Multi-EPOCH device program: ``fn(state, data, step_size,
+        nepochs=..., aligned=...)`` runs ``nepochs`` epochs over the same
+        pre-batched ``data`` inside ONE dispatch (a ``lax.scan`` over the
+        epoch body).  Returns ``(state, infos[nepochs, B])``.
+
+        Motivation: one host round trip per N epochs instead of per
+        epoch.  On this machine's async dispatch pipeline the measured
+        difference vs per-epoch dispatches is within rep noise at
+        20-epoch runs (BENCH_NOTES "dispatch amortization A/B"), but a
+        single program removes all host jitter from the timed window and
+        is the right shape for synchronous callers (e.g. drivers that
+        block on results each epoch, where the round trip IS exposed).
+        Use when the batch schedule is epoch-invariant (no per-epoch
+        shuffle or step decay — those need the host loop in
+        :meth:`run_epochs`).
+
+        The chunked-layout ``aligned`` contract extends across epochs
+        automatically when ``B % upd_freq == 0`` (niter advances by B per
+        epoch).  State donation follows ``self.donate``.
+        """
+        if self._epochs_jit is None:
+            def run(state, data, step_size, nepochs, aligned=None):
+                def body(st, _):
+                    return self.epoch(st, data, step_size, aligned=aligned)
+                return jax.lax.scan(body, state, None, length=nepochs)
+
+            donate = (0,) if self.donate else ()
+            object.__setattr__(
+                self, "_epochs_jit",
+                jax.jit(run, static_argnames=("nepochs", "aligned"),
+                        donate_argnums=donate))
+        return self._epochs_jit
 
     # -- multi-epoch driver ------------------------------------------------ #
     def run_epochs(self, state, data, nepochs, step_size,

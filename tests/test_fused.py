@@ -301,6 +301,41 @@ def test_unroll_is_trajectory_identical(rng, kind):
 
 
 @pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
+@pytest.mark.parametrize("donate", [False, True])
+def test_jit_epochs_matches_epoch_loop(rng, kind, donate):
+    """``FusedTrainer.jit_epochs`` (N epochs in one device program) must
+    produce the same trajectory and infos as N sequential ``jit_epoch``
+    dispatches — it exists purely to amortize per-dispatch cost."""
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = jnp.asarray(rng.standard_normal((B, bs, n)))
+    grad_fn, obj_fn = _make_funs(a)
+    if kind == "oLBFGS":
+        cfg = OLBFGSConfig.create(mem_size=3)
+    elif kind == "SQN":
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    else:
+        cfg = AdaQNConfig.create(mem_size=3, bfgs_upd_freq=L, max_incr=1.01)
+    obj = obj_fn if kind == "adaQN" else None
+
+    loop = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj)
+    st_l = loop.init(jnp.zeros(n))
+    st_l, infos_l = loop.run_epochs(st_l, centers, 3, 0.05)
+
+    one = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj, donate=donate)
+    st_o = one.init(jnp.zeros(n))
+    st_o, infos_o = one.jit_epochs()(st_o, centers, jnp.float32(0.05),
+                                     nepochs=3, aligned=True)
+
+    np.testing.assert_allclose(np.asarray(st_o.x), np.asarray(st_l.x),
+                               rtol=1e-6, atol=1e-9)
+    assert infos_o.shape == infos_l.shape == (3, B)
+    np.testing.assert_array_equal(np.asarray(infos_o),
+                                  np.asarray(infos_l))
+    assert int(st_o.niter) == int(st_l.niter)
+
+
+@pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
 def test_donated_epoch_trajectory_identical(rng, kind):
     """``FusedTrainer.jit_epoch`` donates the state carry (opt-in) so XLA
     reuses the pair-memory buffers in place.  Donation is a pure memory
