@@ -479,6 +479,49 @@ class _GuidedBase:
         kw = additional_kwargs or {}
         obj_last_epoch = np.inf
         last_info = Info.NO_PROBLEMS_ENCOUNTERED
+
+        # Epoch-invariant schedules (no shuffle, constant step, no per-epoch
+        # callback and no valset early stop) can run the WHOLE fit as one
+        # device program (FusedTrainer.jit_epochs): the guided loop is a
+        # synchronous caller — ``np.asarray(infos)`` blocks on a
+        # device-to-host round trip every epoch — so collapsing N epochs
+        # into one dispatch removes N-1 exposed round trips (the async
+        # bench loop measures dispatch parity, but it never blocks;
+        # BENCH_NOTES "dispatch amortization A/B").
+        single_dispatch = (not self.shuffle_data
+                           and self.decr_step_size is step_size_const
+                           and self.callback_epoch is None
+                           and X_val is None
+                           and self.nepochs > 1)
+        self._fused_single_dispatch = single_dispatch
+        if single_dispatch:
+            parts = (jnp.asarray(X), jnp.asarray(y))
+            if w is not None:
+                parts += (jnp.asarray(w),)
+            data = batchify(parts, self.batch_size)
+            B = self.batches_per_epoch
+            # aligned=True is only valid when EVERY epoch starts on an
+            # update-period boundary; otherwise the generic (misaligned)
+            # layout is used — trajectories are identical either way.
+            aligned = (niter % L == 0) and (B % L == 0)
+            state, infos = trainer.jit_epochs()(
+                state, data, jnp.asarray(self.step_size, dtype),
+                nepochs=self.nepochs, aligned=aligned)
+            infos_np = np.asarray(infos)           # [nepochs, B]
+            last_info = Info(int(infos_np[-1, -1]))
+            for self.epoch in range(self.nepochs):
+                if not self.verbose:
+                    continue
+                row = infos_np[self.epoch]
+                base = niter + self.epoch * B
+                for i in np.flatnonzero(
+                        row != int(Info.NO_PROBLEMS_ENCOUNTERED)):
+                    print(f"{self.optimizer_name} - at iteration "
+                          f"{base + int(i) + 1}, epoch {self.epoch + 1}: "
+                          f"{INFO_NAMES[Info(int(row[i]))]}")
+            self.epoch = self.nepochs - 1
+            return self._finish_fused(state, last_info)
+
         # Shuffling is CUMULATIVE like the protocol loop (each epoch
         # reshuffles the already-shuffled arrays — the reference reassigns
         # X in place, stochqn/_optimizers.py:251-256), so the two engines
@@ -525,10 +568,15 @@ class _GuidedBase:
                     break
                 obj_last_epoch = obj
 
-        # Hand the live state back to the free-mode protocol object: the
-        # fused steps end exactly at an iteration boundary (section 1,
-        # awaiting calc_grad), so partial_fit / run_optimizer continue
-        # seamlessly (tested: tests/test_guided.py fused<->protocol resume).
+        return self._finish_fused(state, last_info)
+
+    def _finish_fused(self, state, last_info):
+        """Hand the live state back to the free-mode protocol object: the
+        fused steps end exactly at an iteration boundary (section 1,
+        awaiting calc_grad), so partial_fit / run_optimizer continue
+        seamlessly (tested: tests/test_guided.py fused<->protocol resume)."""
+        from stochqn_tpu.core.enums import INFO_NAMES
+
         self.optimizer.state = state
         # np.array (not asarray): device arrays view as read-only, and the
         # protocol loop writes the iterate back into self.x in place

@@ -229,3 +229,66 @@ def test_engine_arg_validated(rng):
                  batches_per_epoch=10, nepochs=1, verbose=False)
     with pytest.raises(ValueError, match="engine"):
         opt.fit(X, y, engine="warp")
+
+
+@pytest.mark.parametrize("kind", ["oLBFGS", "SQN-hv", "adaQN"])
+def test_single_dispatch_matches_per_epoch_and_protocol(rng, kind):
+    """Epoch-invariant schedules (shuffle off, constant step, no callback,
+    no valset) collapse the whole fused fit into ONE device program
+    (``FusedTrainer.jit_epochs``).  All three drivers — protocol,
+    per-epoch fused (forced via a no-op callback), and single-dispatch
+    fused — must produce the same trajectory."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+
+    def make(callback=None):
+        common = dict(step_size=0.05, batches_per_epoch=10, nepochs=4,
+                      shuffle_data=False, decr_step_size=None,
+                      callback_epoch=callback, verbose=False)
+        if kind == "oLBFGS":
+            return oLBFGS(x0, grad, obj_fun=obj, **common)
+        if kind == "SQN-hv":
+            return SQN(x0, grad, obj_fun=obj, hess_vec_fun=hessvec,
+                       bfgs_upd_freq=5, **common)
+        return adaQN(x0, grad, obj_fun=obj, bfgs_upd_freq=5,
+                     fisher_size=20, **common)
+
+    p = make()
+    p.fit(X, y, engine="protocol")
+
+    f1 = make(callback=lambda x: None)        # forces the per-epoch loop
+    f1.fit(X, y, engine="fused")
+    assert f1._fused_single_dispatch is False
+
+    f2 = make()
+    f2.fit(X, y, engine="fused")
+    assert f2._fused_single_dispatch is True
+
+    np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(f2.x, p.x, rtol=1e-8, atol=1e-10)
+    assert f2.niter == f1.niter == p.niter == 40
+    assert f2.req["task"] == "calc_grad"
+
+
+def test_single_dispatch_misaligned_upd_freq(rng):
+    """B %% upd_freq != 0 forces the generic (misaligned) epoch layout in
+    the single-dispatch program; trajectory must still match the
+    per-epoch fused driver."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+
+    def make(callback=None):
+        return SQN(x0, grad, obj_fun=obj, hess_vec_fun=hessvec,
+                   bfgs_upd_freq=4, step_size=0.05, batches_per_epoch=10,
+                   nepochs=3, shuffle_data=False, decr_step_size=None,
+                   callback_epoch=callback, verbose=False)
+
+    f1 = make(callback=lambda x: None)
+    f1.fit(X, y, engine="fused")
+    f2 = make()
+    f2.fit(X, y, engine="fused")
+    assert f2._fused_single_dispatch is True
+    np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
+    assert f2.niter == f1.niter == 30
