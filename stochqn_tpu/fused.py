@@ -480,6 +480,8 @@ class FusedTrainer:
                                         compare=False)
     _epochs_jit: Any = dataclasses.field(default=None, repr=False,
                                          compare=False)
+    _epochs_sched_jit: Any = dataclasses.field(default=None, repr=False,
+                                               compare=False)
 
     def __post_init__(self):
         kind = self.optimizer
@@ -666,9 +668,10 @@ class FusedTrainer:
         single program removes all host jitter from the timed window and
         is the right shape for synchronous callers (e.g. drivers that
         block on results each epoch, where the round trip IS exposed).
-        Use when the batch schedule is epoch-invariant (no per-epoch
-        shuffle or step decay — those need the host loop in
-        :meth:`run_epochs`).
+        Use when the batch schedule is epoch-invariant; per-epoch
+        shuffles / step decay with a precomputable schedule belong in
+        :meth:`jit_epochs_scheduled`, and schedules that need per-epoch
+        host control in :meth:`run_epochs`.
 
         The chunked-layout ``aligned`` contract extends across epochs
         automatically when ``B % upd_freq == 0`` (niter advances by B per
@@ -686,6 +689,55 @@ class FusedTrainer:
                 jax.jit(run, static_argnames=("nepochs", "aligned"),
                         donate_argnums=donate))
         return self._epochs_jit
+
+    def jit_epochs_scheduled(self):
+        """Multi-epoch device program with a PRECOMPUTED per-epoch schedule:
+        ``fn(state, flat_data, step_sizes, orders, batch_size=..., aligned=...)``.
+
+        Unlike :meth:`jit_epochs` (same batches every epoch), this covers
+        the DEFAULT guided configuration — per-epoch reshuffling and step
+        decay — inside one dispatch.  Both are deterministic functions of
+        the epoch index (the guided shuffle is seeded, the schedule is
+        ``f(step0, epoch)``), so the host precomputes:
+
+        - ``orders [nepochs, B*bs] int32`` — absolute row indices into
+          ``flat_data`` for each epoch, in batch order (the guided
+          driver's CUMULATIVE composed permutations, truncated to the
+          non-ragged prefix);
+        - ``step_sizes [nepochs]`` — the per-epoch step size.
+
+        and the scan body gathers each epoch's rows on device (one
+        dataset-sized gather per epoch — ~50 us at BibTeX scale, against
+        a ~28 ms exposed round trip per epoch for a synchronous caller;
+        BENCH_NOTES "dispatch amortization A/B").  ``flat_data`` leaves
+        are UNbatched ``[n_rows, ...]``; ``batch_size`` is static.
+        Returns ``(state, infos[nepochs, B])``.  State donation follows
+        ``self.donate``.
+
+        ``aligned=True`` requires every epoch to start on an update-period
+        boundary (initial ``niter % upd_freq == 0`` and ``B % upd_freq
+        == 0``); pass False otherwise — trajectories are identical.
+        """
+        if self._epochs_sched_jit is None:
+            def run(state, flat_data, step_sizes, orders, batch_size,
+                    aligned=None):
+                nbatch = orders.shape[1] // batch_size
+
+                def body(st, xs):
+                    order, eta = xs
+                    d = jax.tree_util.tree_map(
+                        lambda a: a[order].reshape(
+                            (nbatch, batch_size) + a.shape[1:]), flat_data)
+                    return self.epoch(st, d, eta, aligned=aligned)
+
+                return jax.lax.scan(body, state, (orders, step_sizes))
+
+            donate = (0,) if self.donate else ()
+            object.__setattr__(
+                self, "_epochs_sched_jit",
+                jax.jit(run, static_argnames=("batch_size", "aligned"),
+                        donate_argnums=donate))
+        return self._epochs_sched_jit
 
     # -- multi-epoch driver ------------------------------------------------ #
     def run_epochs(self, state, data, nepochs, step_size,

@@ -480,33 +480,63 @@ class _GuidedBase:
         obj_last_epoch = np.inf
         last_info = Info.NO_PROBLEMS_ENCOUNTERED
 
-        # Epoch-invariant schedules (no shuffle, constant step, no per-epoch
-        # callback and no valset early stop) can run the WHOLE fit as one
-        # device program (FusedTrainer.jit_epochs): the guided loop is a
-        # synchronous caller — ``np.asarray(infos)`` blocks on a
-        # device-to-host round trip every epoch — so collapsing N epochs
-        # into one dispatch removes N-1 exposed round trips (the async
-        # bench loop measures dispatch parity, but it never blocks;
-        # BENCH_NOTES "dispatch amortization A/B").
-        single_dispatch = (not self.shuffle_data
-                           and self.decr_step_size is step_size_const
-                           and self.callback_epoch is None
+        # Without a per-epoch callback or valset early stop, the WHOLE fit
+        # runs as ONE device program: the guided loop is a synchronous
+        # caller — ``np.asarray(infos)`` blocks on a device-to-host round
+        # trip every epoch — so collapsing N epochs into one dispatch
+        # removes N-1 exposed round trips (measured 4.24x on a 20-epoch
+        # flagship fit; BENCH_NOTES "dispatch amortization A/B").  The
+        # per-epoch shuffle and step decay do NOT force the host loop:
+        # both are deterministic in the epoch index, so the composed row
+        # orders and step sizes are precomputed and the scan body gathers
+        # each epoch's rows on device (jit_epochs_scheduled).
+        single_dispatch = (self.callback_epoch is None
                            and X_val is None
                            and self.nepochs > 1)
         self._fused_single_dispatch = single_dispatch
+        self._fused_dispatch_mode = "loop"      # refined below
         if single_dispatch:
             parts = (jnp.asarray(X), jnp.asarray(y))
             if w is not None:
                 parts += (jnp.asarray(w),)
-            data = batchify(parts, self.batch_size)
             B = self.batches_per_epoch
             # aligned=True is only valid when EVERY epoch starts on an
             # update-period boundary; otherwise the generic (misaligned)
             # layout is used — trajectories are identical either way.
             aligned = (niter % L == 0) and (B % L == 0)
-            state, infos = trainer.jit_epochs()(
-                state, data, jnp.asarray(self.step_size, dtype),
-                nepochs=self.nepochs, aligned=aligned)
+            invariant = (not self.shuffle_data
+                         and self.decr_step_size is step_size_const)
+            self._fused_dispatch_mode = ("invariant" if invariant
+                                         else "scheduled")
+            if invariant:
+                state, infos = trainer.jit_epochs()(
+                    state, batchify(parts, self.batch_size),
+                    jnp.asarray(self.step_size, dtype),
+                    nepochs=self.nepochs, aligned=aligned)
+            else:
+                # Cumulative composed permutations, exactly the protocol
+                # loop's reshuffle-the-already-shuffled-arrays semantics
+                # (reference reassigns X in place,
+                # stochqn/_optimizers.py:251-256): cur maps epoch-order
+                # position -> absolute row.  (kept == n_rows here —
+                # _fused_available rejects ragged row counts before this
+                # path; the slice mirrors batchify for clarity.)
+                n_rows = X.shape[0]
+                kept = B * self.batch_size
+                cur = np.arange(n_rows)
+                orders = np.empty((self.nepochs, kept), np.int32)
+                steps = np.empty((self.nepochs,), np.float64)
+                for e in range(self.nepochs):
+                    if self.shuffle_data:
+                        np.random.seed(self.random_state + e)
+                        order = np.argsort(np.random.random(size=n_rows))
+                        cur = cur[order]
+                    orders[e] = cur[:kept]
+                    steps[e] = self.decr_step_size(self.step_size, e)
+                state, infos = trainer.jit_epochs_scheduled()(
+                    state, parts, jnp.asarray(steps, dtype),
+                    jnp.asarray(orders), batch_size=self.batch_size,
+                    aligned=aligned)
             infos_np = np.asarray(infos)           # [nepochs, B]
             last_info = Info(int(infos_np[-1, -1]))
             for self.epoch in range(self.nepochs):

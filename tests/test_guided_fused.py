@@ -292,3 +292,42 @@ def test_single_dispatch_misaligned_upd_freq(rng):
     assert f2._fused_single_dispatch is True
     np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
     assert f2.niter == f1.niter == 30
+
+
+@pytest.mark.parametrize("kind", list(_makers()))
+def test_default_config_takes_scheduled_single_dispatch(rng, kind):
+    """The DEFAULT guided config (shuffle on, 'auto'/None schedule, no
+    callbacks, no valset) must run as one device program via the
+    precomputed-schedule path — the makers' configs in
+    ``test_fused_fit_matches_protocol`` already lock its trajectory
+    against the protocol engine; this locks that the fast path is the
+    one actually taken."""
+    X, y = _linreg(rng)
+    f = _makers()[kind](np.zeros(X.shape[1]))
+    f.fit(X, y, engine="fused")
+    assert f._fused_single_dispatch is True
+    assert f._fused_dispatch_mode == "scheduled"
+
+
+def test_scheduled_matches_per_epoch_shuffle_and_decay(rng):
+    """Shuffle + sqrt decay: the scheduled single-dispatch program must
+    reproduce the per-epoch fused driver (forced via a no-op callback)
+    exactly — same composed row orders, same per-epoch step sizes."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+
+    def make(callback=None):
+        return SQN(x0, grad, obj_fun=obj, hess_vec_fun=hessvec,
+                   bfgs_upd_freq=5, step_size=0.05, batches_per_epoch=10,
+                   nepochs=4, shuffle_data=True, decr_step_size="auto",
+                   callback_epoch=callback, verbose=False)
+
+    f1 = make(callback=lambda x: None)
+    f1.fit(X, y, engine="fused")
+    assert f1._fused_dispatch_mode == "loop"
+    f2 = make()
+    f2.fit(X, y, engine="fused")
+    assert f2._fused_dispatch_mode == "scheduled"
+    np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
+    assert f2.niter == f1.niter == 40
