@@ -575,3 +575,46 @@ class TestMisalignedResume:
                                       np.asarray(info_c))
         np.testing.assert_allclose(np.asarray(st_a.x), np.asarray(st_c.x),
                                    rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["oLBFGS", "SQN", "adaQN"])
+def test_jit_epochs_scheduled_matches_manual_gather(rng, kind):
+    """``jit_epochs_scheduled`` (precomputed row orders + step sizes in
+    one program) must equal a host loop that gathers the same rows and
+    dispatches ``jit_epoch`` with the same per-epoch step."""
+    n, B, bs, L, E = 8, 12, 2, 4, 3
+    a = _quad_problem(rng, n)
+    rows = jnp.asarray(rng.standard_normal((B * bs, n)))
+    grad_fn, obj_fn = _make_funs(a)
+    if kind == "oLBFGS":
+        cfg = OLBFGSConfig.create(mem_size=3)
+    elif kind == "SQN":
+        cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    else:
+        cfg = AdaQNConfig.create(mem_size=3, bfgs_upd_freq=L, max_incr=1.01)
+    obj = obj_fn if kind == "adaQN" else None
+
+    orders = np.stack([np.random.RandomState(7 + e).permutation(B * bs)
+                       for e in range(E)]).astype(np.int32)
+    steps = np.asarray([0.05 / np.sqrt(e + 1) for e in range(E)])
+
+    ref = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj)
+    st_r = ref.init(jnp.zeros(n))
+    ep = ref.jit_epoch()
+    infos_r = []
+    for e in range(E):
+        d = rows[orders[e]].reshape(B, bs, n)
+        st_r, info = ep(st_r, d, jnp.asarray(steps[e], jnp.float32),
+                        aligned=True)
+        infos_r.append(np.asarray(info))
+
+    sched = FusedTrainer(kind, cfg, grad_fn, obj_fn=obj)
+    st_s = sched.init(jnp.zeros(n))
+    st_s, infos_s = sched.jit_epochs_scheduled()(
+        st_s, rows, jnp.asarray(steps, jnp.float32),
+        jnp.asarray(orders), batch_size=bs, aligned=True)
+
+    np.testing.assert_allclose(np.asarray(st_s.x), np.asarray(st_r.x),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(infos_s), np.stack(infos_r))
+    assert int(st_s.niter) == int(st_r.niter) == E * B
