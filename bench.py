@@ -157,6 +157,7 @@ def main():
     # because it makes each timed rep one device program (no host jitter
     # inside the window) and is the recommended API for epoch-invariant
     # schedules.
+    epochs_fn = trainer.jit_epochs()   # state carry donated (in-place pairs)
     eta = jnp.asarray(STEP, DTYPE)
 
     # warmup / compile (one full-rep program: same static nepochs as the
