@@ -43,6 +43,13 @@ def main():
             "oLBFGS", OLBFGSConfig.create(mem_size=10,
                                           pairs_interleaved=True),
             grad_fn, donate=True),
+        "oLBFGS (bf16 pairs)": FusedTrainer(
+            "oLBFGS", OLBFGSConfig.create(mem_size=10, pairs_bf16=True),
+            grad_fn, donate=True),
+        "oLBFGS (bf16+interleaved)": FusedTrainer(
+            "oLBFGS", OLBFGSConfig.create(mem_size=10, pairs_bf16=True,
+                                          pairs_interleaved=True),
+            grad_fn, donate=True),
         "SQN (jvp hess-vec)": FusedTrainer(
             "SQN", SQNConfig.create(mem_size=10, bfgs_upd_freq=L), grad_fn, donate=True),
         "SQN (grad-diff)": FusedTrainer(
