@@ -659,7 +659,9 @@ class FusedTrainer:
         """Multi-EPOCH device program: ``fn(state, data, step_size,
         nepochs=..., aligned=...)`` runs ``nepochs`` epochs over the same
         pre-batched ``data`` inside ONE dispatch (a ``lax.scan`` over the
-        epoch body).  Returns ``(state, infos[nepochs, B])``.
+        epoch body).  ``step_size`` is a scalar (same step every epoch)
+        or a ``[nepochs]`` array (per-epoch schedule, e.g. sqrt decay).
+        Returns ``(state, infos[nepochs, B])``.
 
         Motivation: one host round trip per N epochs instead of per
         epoch.  On this machine's async dispatch pipeline the measured
@@ -679,9 +681,14 @@ class FusedTrainer:
         """
         if self._epochs_jit is None:
             def run(state, data, step_size, nepochs, aligned=None):
-                def body(st, _):
-                    return self.epoch(st, data, step_size, aligned=aligned)
-                return jax.lax.scan(body, state, None, length=nepochs)
+                # scalar step -> same step every epoch; a [nepochs] array
+                # rides the scan as a per-epoch schedule (no gathers —
+                # the cheap path for decay-without-shuffle fits)
+                steps = jnp.broadcast_to(step_size, (nepochs,))
+
+                def body(st, eta):
+                    return self.epoch(st, data, eta, aligned=aligned)
+                return jax.lax.scan(body, state, steps)
 
             donate = (0,) if self.donate else ()
             object.__setattr__(
@@ -721,6 +728,11 @@ class FusedTrainer:
         if self._epochs_sched_jit is None:
             def run(state, flat_data, step_sizes, orders, batch_size,
                     aligned=None):
+                if orders.shape[1] % batch_size:
+                    raise ValueError(
+                        f"orders.shape[1]={orders.shape[1]} must be a "
+                        f"multiple of batch_size={batch_size} (each epoch "
+                        "row lists exactly the gathered batch rows)")
                 nbatch = orders.shape[1] // batch_size
 
                 def body(st, xs):

@@ -58,6 +58,14 @@ def _slice_rows(arr, start, stop):
     return arr[start:stop]
 
 
+def _epoch_shuffle_order(random_state, epoch, n_rows):
+    """The reference's per-epoch shuffle order (fresh seed + argsort of
+    uniforms, ``stochqn/_optimizers.py:251-256``) — the ONE definition all
+    engines share so protocol/fused trajectory equality cannot drift."""
+    np.random.seed(random_state + epoch)
+    return np.argsort(np.random.random(size=n_rows))
+
+
 def _take_rows(arr, order):
     if arr is None:
         return None
@@ -288,9 +296,20 @@ class _GuidedBase:
         Hessian-vector product comes from ``jax.jvp`` of ``grad_fun``
         (``hess_vec_fun`` is not traced).  Accelerates the loop the
         reference drives per-request (``stochqn/_optimizers.py:199-286``).
+
+        When no per-epoch host control is needed (no ``callback_epoch``,
+        no validation early stop), the fused engine runs the WHOLE fit as
+        one device program; ``verbose`` problem reports (curvature
+        rejects etc.) are then printed after the fit completes rather
+        than as they occur — same lines, deferred.
         """
         if engine not in ("protocol", "fused"):
             raise ValueError("'engine' must be 'protocol' or 'fused'")
+        # introspection: how the LAST fit dispatched (refined in
+        # _fit_fused; stays "protocol" on protocol runs AND on fused
+        # runs that fall back before reaching _fit_fused)
+        self._fused_single_dispatch = False
+        self._fused_dispatch_mode = "protocol"
         X, y = self._ensure_csr(X), self._ensure_csr(y)
         if X.shape[0] <= 0 or X.shape[0] != y.shape[0]:
             raise ValueError("X and y must have matching, nonzero rows")
@@ -332,8 +351,8 @@ class _GuidedBase:
         self.batch_size = int(np.ceil(X.shape[0] / self.batches_per_epoch))
         for self.epoch in range(self.nepochs):
             if self.shuffle_data:
-                np.random.seed(self.random_state + self.epoch)
-                order = np.argsort(np.random.random(size=X.shape[0]))
+                order = _epoch_shuffle_order(self.random_state, self.epoch,
+                                             X.shape[0])
                 X, y = _take_rows(X, order), _take_rows(y, order)
                 sample_weight = _take_rows(sample_weight, order)
 
@@ -504,51 +523,55 @@ class _GuidedBase:
             # update-period boundary; otherwise the generic (misaligned)
             # layout is used — trajectories are identical either way.
             aligned = (niter % L == 0) and (B % L == 0)
-            invariant = (not self.shuffle_data
-                         and self.decr_step_size is step_size_const)
-            self._fused_dispatch_mode = ("invariant" if invariant
-                                         else "scheduled")
-            if invariant:
-                state, infos = trainer.jit_epochs()(
-                    state, batchify(parts, self.batch_size),
-                    jnp.asarray(self.step_size, dtype),
-                    nepochs=self.nepochs, aligned=aligned)
-            else:
+            if self.shuffle_data:
                 # Cumulative composed permutations, exactly the protocol
                 # loop's reshuffle-the-already-shuffled-arrays semantics
                 # (reference reassigns X in place,
                 # stochqn/_optimizers.py:251-256): cur maps epoch-order
                 # position -> absolute row.  (kept == n_rows here —
-                # _fused_available rejects ragged row counts before this
-                # path; the slice mirrors batchify for clarity.)
+                # _fused_unsupported_reason rejects ragged row counts
+                # before this path; the slice mirrors batchify for
+                # clarity.)
+                self._fused_dispatch_mode = "scheduled"
                 n_rows = X.shape[0]
                 kept = B * self.batch_size
                 cur = np.arange(n_rows)
                 orders = np.empty((self.nepochs, kept), np.int32)
                 steps = np.empty((self.nepochs,), np.float64)
                 for e in range(self.nepochs):
-                    if self.shuffle_data:
-                        np.random.seed(self.random_state + e)
-                        order = np.argsort(np.random.random(size=n_rows))
-                        cur = cur[order]
+                    cur = cur[_epoch_shuffle_order(self.random_state, e,
+                                                   n_rows)]
                     orders[e] = cur[:kept]
                     steps[e] = self.decr_step_size(self.step_size, e)
                 state, infos = trainer.jit_epochs_scheduled()(
                     state, parts, jnp.asarray(steps, dtype),
                     jnp.asarray(orders), batch_size=self.batch_size,
                     aligned=aligned)
+            else:
+                # Fixed batches; the step schedule (if any) rides the
+                # scan as a [nepochs] array — no per-epoch gathers.
+                const = self.decr_step_size is step_size_const
+                self._fused_dispatch_mode = "invariant" if const else "decay"
+                if const:
+                    steps = jnp.asarray(self.step_size, dtype)
+                else:
+                    steps = jnp.asarray(
+                        [self.decr_step_size(self.step_size, e)
+                         for e in range(self.nepochs)], dtype)
+                state, infos = trainer.jit_epochs()(
+                    state, batchify(parts, self.batch_size), steps,
+                    nepochs=self.nepochs, aligned=aligned)
             infos_np = np.asarray(infos)           # [nepochs, B]
             last_info = Info(int(infos_np[-1, -1]))
-            for self.epoch in range(self.nepochs):
-                if not self.verbose:
-                    continue
-                row = infos_np[self.epoch]
-                base = niter + self.epoch * B
-                for i in np.flatnonzero(
-                        row != int(Info.NO_PROBLEMS_ENCOUNTERED)):
-                    print(f"{self.optimizer_name} - at iteration "
-                          f"{base + int(i) + 1}, epoch {self.epoch + 1}: "
-                          f"{INFO_NAMES[Info(int(row[i]))]}")
+            if self.verbose:
+                for epoch in range(self.nepochs):
+                    row = infos_np[epoch]
+                    base = niter + epoch * B
+                    for i in np.flatnonzero(
+                            row != int(Info.NO_PROBLEMS_ENCOUNTERED)):
+                        print(f"{self.optimizer_name} - at iteration "
+                              f"{base + int(i) + 1}, epoch {epoch + 1}: "
+                              f"{INFO_NAMES[Info(int(row[i]))]}")
             self.epoch = self.nepochs - 1
             return self._finish_fused(state, last_info)
 
@@ -559,8 +582,8 @@ class _GuidedBase:
         Xe, ye, we = X, y, w
         for self.epoch in range(self.nepochs):
             if self.shuffle_data:
-                np.random.seed(self.random_state + self.epoch)
-                order = np.argsort(np.random.random(size=X.shape[0]))
+                order = _epoch_shuffle_order(self.random_state, self.epoch,
+                                             X.shape[0])
                 Xe, ye = _take_rows(Xe, order), _take_rows(ye, order)
                 we = _take_rows(we, order)
             parts = (jnp.asarray(Xe), jnp.asarray(ye))

@@ -331,3 +331,42 @@ def test_scheduled_matches_per_epoch_shuffle_and_decay(rng):
     assert f2._fused_dispatch_mode == "scheduled"
     np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
     assert f2.niter == f1.niter == 40
+
+
+def test_decay_without_shuffle_uses_steps_array(rng):
+    """shuffle_data=False + a decaying schedule takes the gather-free
+    'decay' program (steps array riding the scan) and matches the
+    per-epoch fused driver."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+
+    def make(callback=None):
+        return SQN(x0, grad, obj_fun=obj, hess_vec_fun=hessvec,
+                   bfgs_upd_freq=5, step_size=0.05, batches_per_epoch=10,
+                   nepochs=4, shuffle_data=False, decr_step_size="auto",
+                   callback_epoch=callback, verbose=False)
+
+    f1 = make(callback=lambda x: None)
+    f1.fit(X, y, engine="fused")
+    assert f1._fused_dispatch_mode == "loop"
+    f2 = make()
+    f2.fit(X, y, engine="fused")
+    assert f2._fused_dispatch_mode == "decay"
+    np.testing.assert_allclose(f2.x, f1.x, rtol=1e-9, atol=1e-12)
+
+
+def test_dispatch_mode_resets_on_protocol_fallback(rng):
+    """A fused fit that falls back to the protocol loop (or a plain
+    protocol fit) must not report a stale dispatch mode from an earlier
+    fused fit."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+    opt = SQN(np.zeros(X.shape[1]), grad, obj_fun=obj,
+              hess_vec_fun=hessvec, bfgs_upd_freq=5, step_size=0.05,
+              batches_per_epoch=10, nepochs=2, verbose=False)
+    opt.fit(X, y, engine="fused")
+    assert opt._fused_dispatch_mode == "scheduled"
+    opt.fit(X, y, engine="protocol")
+    assert opt._fused_dispatch_mode == "protocol"
+    assert opt._fused_single_dispatch is False
