@@ -57,6 +57,20 @@ def main():
               "(incl. the full-data loss eval; see bench.py for pure "
               "optimizer throughput)")
 
+    # Whole-RUN single dispatch: N more epochs as ONE device program
+    # (one host round trip total — the recommended shape for synchronous
+    # callers; guided fit(engine="fused") does this automatically).  A
+    # [nepochs] step array rides the scan as a per-epoch decay schedule.
+    steps = jnp.asarray([1e-2 / np.sqrt(e + 1) for e in range(10)],
+                        jnp.float32)
+    t0 = time.perf_counter()
+    state, infos = trainer.jit_epochs()(state, (X, Y), steps, nepochs=10)
+    jax.block_until_ready(state.x)
+    dt = time.perf_counter() - t0
+    print(f"10 more epochs in one program: loss {full_loss(state.x):12.1f}"
+          f"   {10 * NUM_BATCHES / dt:8.0f} iters/s   "
+          f"infos shape {infos.shape}")
+
 
 if __name__ == "__main__":
     main()
