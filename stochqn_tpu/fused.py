@@ -475,6 +475,19 @@ class FusedTrainer:
     # ``donate=True`` for the large-n capacity path (bench.py and
     # benchmarks/large_n.py do).
     donate: bool = False
+    # Optional resharding hook for :meth:`jit_epochs_scheduled`: applied to
+    # each epoch's gathered-and-rebatched data pytree inside the scan body.
+    # The device-side gather that implements the per-epoch shuffle leaves
+    # its output's sharding to GSPMD, which (measured on a (4 data x 2
+    # param) mesh) REPLICATES the example axis — the per-epoch gather
+    # compiles to one dataset-shard all-reduce over the data axis, and
+    # every device then computes full-batch gradients: correct, but data
+    # parallelism is lost for the whole epoch.  Pass
+    # ``parallel.epoch_batch_constraint(mesh)`` to pin the within-batch
+    # example axis back onto the data mesh axis (the per-step gradient
+    # all-reduce then reappears, exactly as in the pre-sharded-data
+    # paths).  None = let GSPMD decide.
+    batch_constraint: Optional[Callable[[Batch], Batch]] = None
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -740,6 +753,8 @@ class FusedTrainer:
                     d = jax.tree_util.tree_map(
                         lambda a: a[order].reshape(
                             (nbatch, batch_size) + a.shape[1:]), flat_data)
+                    if self.batch_constraint is not None:
+                        d = self.batch_constraint(d)
                     return self.epoch(st, d, eta, aligned=aligned)
 
                 return jax.lax.scan(body, state, (orders, step_sizes))

@@ -25,6 +25,14 @@ _LIB_PATH = os.path.join(_BUILD_DIR, "libstochqn_native.so")
 _lock = threading.Lock()
 _lib = None
 
+# Flags that determine the core's floating-point behavior: -O3 plus
+# -march=native enable FMA contraction, -fopenmp fixes the reduction
+# structure.  The R-shim build (tests/test_r_shim.py) compiles a SECOND
+# copy of the same core and asserts bit-identical trajectories against
+# this backend — that contract holds only when both builds use exactly
+# these flags, so it imports this tuple rather than restating them.
+NUMERIC_FLAGS = ("-O3", "-march=native", "-fopenmp")
+
 
 def _build_library() -> str:
     if not os.path.isdir(_NATIVE_DIR):
@@ -39,8 +47,7 @@ def _build_library() -> str:
     # (the one-at-a-time TPU workflow still allows concurrent CPU runs)
     # must never dlopen a partially written .so.
     tmp_path = f"{_LIB_PATH}.tmp.{os.getpid()}"
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-fopenmp",
+    cmd = ["g++", *NUMERIC_FLAGS, "-std=c++17", "-shared", "-fPIC",
            f"-I{inc}", src, "-o", tmp_path]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:

@@ -42,6 +42,7 @@ _SHAPE_RE = re.compile(r"(?P<dtype>[a-z]+\d*)\[(?P<dims>[\d,]*)\]")
 # `replica_groups={{0,1},{2,3}}` (group size = first group's element count).
 _GROUPS_RE = re.compile(r"replica_groups=\[(?P<ngroups>\d+),(?P<gsize>\d+)\]")
 _GROUPS_LIST_RE = re.compile(r"replica_groups=\{\{(?P<first>[\d,]*)\}")
+_OP_NAME_RE = re.compile(r'op_name="(?P<name>[^"]*)"')
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +51,15 @@ class CollectiveOp:
     payload_bytes: int  # bytes in the result shape
     group_size: int     # devices participating (1 group's size; 0 if unknown)
     line: str           # the HLO line, for diagnostics
+    # Loop-nesting depth from the op's `op_name` metadata: the number of
+    # `while/body` segments in the traced path (e.g. a collective inside
+    # epochs-scan -> rounds-scan -> steps-scan is depth 3, a per-epoch
+    # gather is depth 1, a loop-free op is 0).  -1 when the line carries
+    # no op_name metadata.  This is what lets a MULTI-loop program's byte
+    # budget be locked per execution frequency: static HLO text shows each
+    # op once regardless of trip count, so "the dataset-sized collective
+    # runs per epoch, not per step" is exactly "its depth is 1, not 3".
+    loop_depth: int = -1
 
 
 def _element_bytes(shape: str):
@@ -119,11 +129,14 @@ def collective_ops(hlo_text: str) -> List[CollectiveOp]:
             raise ValueError(
                 "unparsed replica_groups on a collective with payload: "
                 + line.strip())
+        nm = _OP_NAME_RE.search(line)
+        depth = nm.group("name").count("while/body") if nm else -1
         ops.append(CollectiveOp(
             kind=m.group("kind"),
             payload_bytes=payload,
             group_size=group_size,
-            line=line.strip()))
+            line=line.strip(),
+            loop_depth=depth))
     return ops
 
 

@@ -91,6 +91,32 @@ def shard_state(state, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, state)
 
 
+def epoch_batch_constraint(mesh: Mesh, example_axis: int = 1):
+    """Sharding constraint for the fused scheduled-dispatch epoch data.
+
+    Returns a callable for ``FusedTrainer.batch_constraint``: inside the
+    ``jit_epochs_scheduled`` scan body it pins each rebatched leaf's
+    within-batch example axis (axis 1 of ``[B, bs, ...]``) onto the
+    ``data`` mesh axis, restoring data-parallel gradient compute after the
+    device-side shuffle gather (whose output GSPMD otherwise replicates —
+    see the field comment in :class:`stochqn_tpu.fused.FusedTrainer`).
+    Other axes stay UNCONSTRAINED so the parameter axis keeps whatever
+    sharding propagates from the state.
+    """
+    U = P.UNCONSTRAINED
+
+    def constrain(data):
+        def one(leaf):
+            spec = [U] * leaf.ndim
+            spec[0] = None                    # batch-count axis: scan-sliced
+            spec[example_axis] = DATA_AXIS
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, P(*spec)))
+        return jax.tree_util.tree_map(one, data)
+
+    return constrain
+
+
 def shard_batches(data, mesh: Mesh, batched: bool = True):
     """Place pre-batched data (leaves ``[B, bs, ...]``) with the within-batch
     example axis sharded over ``data`` (or axis 0 when ``batched=False``)."""

@@ -392,3 +392,257 @@ def test_hlo_stats_explicit_group_lists_and_permute():
 
     with pytest.raises(ValueError, match="unparsed replica_groups"):
         collective_ops("  %bad = f32[64]{0} all-reduce(%p), to_apply=%add")
+
+
+# ===========================================================================
+# Round-4 flagship paths under meshes: scheduled whole-fit dispatch, bf16
+# pair/Fisher storage, sparse padded-COO gradients
+# ===========================================================================
+def test_scheduled_whole_fit_sharded_matches_unsharded(rng):
+    """jit_epochs_scheduled (what guided fit(engine='fused') dispatches by
+    default under shuffle+decay) on a (4 data x 2 param) mesh with the
+    epoch_batch_constraint: trajectory identical to single-device."""
+    from stochqn_tpu.parallel import epoch_batch_constraint
+
+    n, n_rows, bs, L, m, nepochs = 64, 64, 8, 2, 3, 3
+    a_diag = jnp.asarray(rng.uniform(0.5, 2.0, n))
+
+    def grad_fn(x, batch):
+        return a_diag * (x - jnp.mean(batch[0], axis=0))
+
+    cfg = SQNConfig.create(mem_size=m, bfgs_upd_freq=L)
+    mesh = make_mesh(n_data=4, n_param=2)
+    flat_x = jnp.asarray(rng.standard_normal((n_rows, n)))
+    orders = jnp.asarray(np.stack([rng.permutation(n_rows)
+                                   for _ in range(nepochs)]), jnp.int32)
+    steps = jnp.asarray([0.05 / np.sqrt(e + 1.0) for e in range(nepochs)])
+
+    tr_plain = FusedTrainer("SQN", cfg, grad_fn)
+    st_plain, infos_plain = tr_plain.jit_epochs_scheduled()(
+        tr_plain.init(jnp.zeros(n)), (flat_x,), steps, orders,
+        batch_size=bs, aligned=True)
+
+    tr_sh = FusedTrainer("SQN", cfg, grad_fn,
+                         batch_constraint=epoch_batch_constraint(mesh))
+    st0 = shard_state(tr_sh.init(jnp.zeros(n)), mesh)
+    flat_sh = jax.device_put(
+        flat_x, jax.NamedSharding(mesh,
+                                  jax.sharding.PartitionSpec("data",
+                                                             "param")))
+    st_sh, infos_sh = tr_sh.jit_epochs_scheduled()(
+        st0, (flat_sh,), steps, orders, batch_size=bs, aligned=True)
+
+    np.testing.assert_allclose(np.asarray(st_sh.x), np.asarray(st_plain.x),
+                               rtol=1e-8, atol=1e-10)
+    assert np.array_equal(np.asarray(infos_sh), np.asarray(infos_plain))
+    assert int(st_sh.niter) == nepochs * (n_rows // bs)
+
+
+def test_scheduled_whole_fit_collective_depth_budget(rng):
+    """The scheduled program's collective placement, locked by loop depth
+    (op_name `while/body` nesting): the dataset-shard gather all-reduce
+    runs once per EPOCH (depth 1), never inside the per-round (depth 2)
+    or per-step (depth 3) loops; per-step payloads stay <= one gradient
+    shard + O(m) smalls.  This is the 'GSPMD silently all-gathers per
+    step' failure mode ruled out statically."""
+    from stochqn_tpu.parallel import epoch_batch_constraint
+
+    n, n_rows, bs, L, m, nepochs, p = 64, 64, 8, 2, 3, 3, 2
+    a_diag = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    def grad_fn(x, batch):
+        return a_diag * (x - jnp.mean(batch[0], axis=0))
+
+    cfg = SQNConfig.create(mem_size=m, bfgs_upd_freq=L)
+    mesh = make_mesh(n_data=4, n_param=p)
+    tr = FusedTrainer("SQN", cfg, grad_fn,
+                      batch_constraint=epoch_batch_constraint(mesh))
+    st0 = shard_state(tr.init(jnp.zeros(n, jnp.float32)), mesh)
+    flat_sh = jax.device_put(
+        jnp.asarray(rng.standard_normal((n_rows, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data", "param")))
+    orders = jnp.asarray(np.stack([rng.permutation(n_rows)
+                                   for _ in range(nepochs)]), jnp.int32)
+    steps = jnp.full((nepochs,), 0.05, jnp.float32)
+
+    hlo = tr.jit_epochs_scheduled().lower(
+        st0, (flat_sh,), steps, orders, batch_size=bs,
+        aligned=True).compile().as_text()
+    ops = collective_ops(hlo)
+    assert ops and all(o.loop_depth >= 0 for o in ops), \
+        "op_name metadata missing - cannot attribute loop depth"
+
+    grad_shard = n * 4 // p
+    dataset_shard = n_rows * (n // p) * 4
+    big = [o for o in ops if o.payload_bytes > grad_shard + 256]
+    # exactly one dataset-sized collective, and it is per-epoch (depth 1)
+    assert len(big) == 1, [(o.payload_bytes, o.loop_depth) for o in big]
+    assert big[0].loop_depth <= 1, big[0]
+    assert big[0].payload_bytes <= dataset_shard + 256, big[0]
+    # everything inside the per-round/per-step loops is small
+    for o in ops:
+        if o.loop_depth >= 2:
+            assert o.payload_bytes <= grad_shard + 256, o
+
+
+def test_collective_bytes_bf16_interleaved_olbfgs_param_sharded(rng):
+    """bf16 + interleaved [2m, n] pair storage under a param-only mesh:
+    the in-matmul f32 upcast (ops/two_loop._mem_mm) must stay
+    collective-free — the per-step payload is O(m) scalars, NOT the
+    bf16 pair buffer.  Also locks sharded == unsharded trajectories."""
+    import functools
+    from stochqn_tpu.core.config import OLBFGSConfig
+    from stochqn_tpu.fused import olbfgs_step
+
+    n, bs, m = 4096, 8, 3
+    mesh = make_mesh(n_data=1, n_param=8)
+    a_diag = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    def grad_fn(x, batch):
+        return a_diag * (x - jnp.mean(batch, axis=0))
+
+    cfg = OLBFGSConfig.create(mem_size=m, min_curvature=1e-8,
+                              pairs_bf16=True, pairs_interleaved=True)
+    tr = FusedTrainer("oLBFGS", cfg, grad_fn)
+    data = jnp.asarray(rng.standard_normal((4, bs, n)).astype(np.float32))
+    st = tr.init(jnp.zeros(n, jnp.float32))
+    st, _ = tr.epoch(st, data, 0.05)          # warm: pairs committed
+    st_sh = shard_state(st, mesh)
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "param")))
+
+    fn = jax.jit(functools.partial(olbfgs_step, cfg, grad_fn))
+    hlo = fn.lower(st_sh, batch, jnp.float32(0.05)).compile().as_text()
+    ops = collective_ops(hlo)
+    total = sum(o.payload_bytes for o in ops)
+    assert 0 < total <= 1024, (total, [(o.kind, o.payload_bytes)
+                                       for o in ops])
+    assert total < n, "bf16 param-sharded step moved O(n) bytes"
+
+    # trajectory: one more epoch, sharded vs unsharded (bf16-storage
+    # rounding is identical; only float reduction order may differ)
+    st_ref, _ = jax.jit(tr.epoch)(st, data, 0.05)
+    st_shd, _ = jax.jit(tr.epoch)(st_sh, data, 0.05)
+    np.testing.assert_allclose(np.asarray(st_shd.x), np.asarray(st_ref.x),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_collective_bytes_bf16_fisher_adaqn_param_sharded(rng):
+    """adaQN with bf16 pair AND Fisher storage on the param-only mesh:
+    per-step (Fisher ring append + preconditioned two-loop) and boundary
+    (Fisher gemvs F^T(F s) + guard + commit) payloads both stay O(m) —
+    the [fisher_size, n] bf16 buffer never crosses the mesh."""
+    import functools
+    from stochqn_tpu.core.config import AdaQNConfig
+    from stochqn_tpu.fused import _adaqn_base, _adaqn_boundary
+
+    n, bs, m, L = 4096, 8, 3, 4
+    mesh = make_mesh(n_data=1, n_param=8)
+    a_diag = jnp.asarray(rng.uniform(0.5, 2.0, n).astype(np.float32))
+
+    def grad_fn(x, batch):
+        return a_diag * (x - jnp.mean(batch, axis=0))
+
+    def obj_fn(x, batch):
+        r = x - jnp.mean(batch, axis=0)
+        return 0.5 * jnp.vdot(r, a_diag * r)
+
+    cfg = AdaQNConfig.create(mem_size=m, bfgs_upd_freq=L, fisher_size=4,
+                             max_incr=1.01, rmsprop_weight=0.9,
+                             pairs_bf16=True, fisher_bf16=True)
+    tr = FusedTrainer("adaQN", cfg, grad_fn, obj_fn=obj_fn)
+    data = jnp.asarray(rng.standard_normal((4, bs, n)).astype(np.float32))
+    st = tr.init(jnp.zeros(n, jnp.float32))
+    st, _ = tr.epoch(st, data, 0.05)
+    st_sh = shard_state(st, mesh)
+    spec = jax.sharding.PartitionSpec(None, "param")
+    batch = jax.device_put(
+        jnp.asarray(rng.standard_normal((bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, spec))
+
+    fn = jax.jit(functools.partial(_adaqn_base, cfg, grad_fn))
+    hlo = fn.lower(st_sh, batch, jnp.float32(0.05)).compile().as_text()
+    step_total = collective_bytes(hlo)
+    assert 0 < step_total <= 1024, step_total
+
+    big = jax.device_put(
+        jnp.asarray(rng.standard_normal((L * bs, n)).astype(np.float32)),
+        jax.NamedSharding(mesh, spec))
+    bfn = jax.jit(functools.partial(_adaqn_boundary, cfg, grad_fn, obj_fn))
+    bhlo = bfn.lower(st_sh, big, big, jnp.zeros((), bool)).compile().as_text()
+    btotal = collective_bytes(bhlo)
+    assert 0 < btotal <= 1024, btotal
+
+
+def test_sparse_sqn_sharded_epoch_matches_and_budget(rng):
+    """Padded-COO sparse gradients under (4 data x 2 param): the
+    scatter-add lowers to a LOCAL scatter into each device's param shard
+    + one gradient-shard all-reduce over the data axis — no O(n_rows)
+    gather, no full-gradient broadcast.  Trajectory matches unsharded."""
+    import functools
+    from stochqn_tpu.fused import _sqn_base
+    from stochqn_tpu.models.sparse import (csr_to_padded,
+                                           sparse_multinomial_logistic_grad)
+
+    nf, C, k, bs, B, L, m, p = 256, 4, 8, 16, 8, 4, 3, 2
+    n = (nf + 1) * C
+    mesh = make_mesh(n_data=4, n_param=p)
+
+    def grad_fn(x, batch):
+        idx, val, Y = batch
+        return sparse_multinomial_logistic_grad(x, idx, val, Y, nf,
+                                                reg_param=1e-1)
+
+    cfg = SQNConfig.create(mem_size=m, bfgs_upd_freq=L)
+    tr = FusedTrainer("SQN", cfg, grad_fn)
+
+    dense = np.zeros((B * bs, nf), np.float32)
+    for r in range(B * bs):
+        cols = rng.choice(nf, size=k // 2, replace=False)
+        dense[r, cols] = rng.standard_normal(k // 2)
+    idx, val = csr_to_padded(dense, max_nnz=k)
+    labels = rng.integers(0, C, size=B * bs)
+    hot = np.eye(C, dtype=np.float32)[labels]
+    data = (jnp.asarray(idx.reshape(B, bs, k)),
+            jnp.asarray(val.reshape(B, bs, k)),
+            jnp.asarray(hot.reshape(B, bs, C)))
+
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    st_plain, infos_plain = jax.jit(tr.epoch)(tr.init(x0), data, 0.05)
+
+    st_sh = shard_state(tr.init(x0), mesh)
+    data_sh = shard_batches(data, mesh)
+    st_sh2, infos_sh = jax.jit(tr.epoch)(st_sh, data_sh, 0.05)
+    np.testing.assert_allclose(np.asarray(st_sh2.x),
+                               np.asarray(st_plain.x),
+                               rtol=1e-5, atol=1e-6)
+    assert np.array_equal(np.asarray(infos_sh), np.asarray(infos_plain))
+    assert int(st_sh2.niter) == B
+
+    batch = jax.tree_util.tree_map(lambda a: a[0], data_sh)
+    fn = jax.jit(functools.partial(_sqn_base, cfg, grad_fn))
+    hlo = fn.lower(st_sh, batch, jnp.float32(0.05)).compile().as_text()
+    total = collective_bytes(hlo)
+    shard_bytes = n * 4 // p
+    assert shard_bytes <= total <= shard_bytes + 1024, (
+        total, [(o.kind, o.payload_bytes) for o in collective_ops(hlo)])
+
+
+def test_hlo_stats_loop_depth_from_op_name():
+    """loop_depth counts `while/body` segments in op_name metadata; ops
+    without metadata report -1 (unknown)."""
+    from stochqn_tpu.parallel.hlo_stats import collective_ops
+
+    hlo = "\n".join([
+        '  %a = f32[8]{0} all-reduce(%p), replica_groups=[1,8]<=[8], '
+        'metadata={op_name="jit(run)/while/body/closed_call/while/body/'
+        'closed_call/while/body/closed_call/dot_general"}',
+        '  %b = f32[64]{0} all-reduce(%q), replica_groups=[2,4]<=[8], '
+        'metadata={op_name="jit(run)/while/body/closed_call/gather"}',
+        '  %c = f32[4]{0} all-reduce(%r), replica_groups=[1,8]<=[8]',
+    ])
+    depths = [(o.payload_bytes, o.loop_depth) for o in collective_ops(hlo)]
+    assert (8 * 4, 3) in depths
+    assert (64 * 4, 1) in depths
+    assert (4 * 4, -1) in depths

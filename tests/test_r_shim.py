@@ -41,11 +41,12 @@ def shim(tmp_path_factory):
     if gxx is None:
         pytest.skip("no g++")
     lib_path = str(tmp_path_factory.mktemp("rshim") / "librshim.so")
-    # flags must MATCH native_backend._build_library: -O3/-march/-fopenmp
-    # change FMA contraction, and the bit-identical trajectory assertions
-    # below require the two builds of the same core to round identically
-    cmd = [gxx, "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-fopenmp",
+    # The bit-identical trajectory assertions below require this build of
+    # the core to round exactly like native_backend's (FMA contraction and
+    # OpenMP reduction order are flag-dependent), so the numeric flags come
+    # from the ONE source of truth rather than being restated here.
+    from stochqn_tpu.native_backend import NUMERIC_FLAGS
+    cmd = [gxx, *NUMERIC_FLAGS, "-std=c++17", "-shared", "-fPIC",
            f"-I{STUB}", f"-I{os.path.join(RPKG, 'src')}",
            os.path.join(RPKG, "src", "rwrapper.cpp"),
            os.path.join(STUB, "rshim.cpp"),
