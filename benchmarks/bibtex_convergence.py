@@ -245,6 +245,129 @@ def sweep_olbfgs(args, X, Y, source):
           f"{best[1]['early_advantage']['frac_ahead_of_sgd']}")
 
 
+def sweep_sgd(args, X, Y, source):
+    """Tune the SGD (and RMSProp) baselines the oLBFGS sweep is scored
+    against (VERDICT r4 weak #2: the notebook's SGD step 1e-1 DIVERGES on
+    the structured synthetic, so beating it was trivially satisfiable).
+    Sweeps SGD/RMSProp steps with the exact same split/seed/batches as
+    :func:`sweep_olbfgs`, flags diverging runs, then re-scores every
+    recorded oLBFGS curve against the best NON-diverging SGD and RMSProp.
+    The reference claim survives only if oLBFGS still shows the early
+    advantage against the tuned baselines."""
+    from sklearn.model_selection import train_test_split
+
+    sgd_steps = [float(s) for s in args.sweep_sgd.split(",")]
+    rms_steps = [1e-1, 3e-2, 1e-2, 3e-3, 1e-3]
+    X_tr, X_te, Y_tr, Y_te = train_test_split(X, Y, test_size=0.1,
+                                              random_state=1)
+    reg_param = 1e-1
+    np.random.seed(1)
+    w0 = np.random.normal(size=(X.shape[1] + 1) * Y.shape[1])
+    order = np.argsort(np.random.random(size=X_tr.shape[0]))
+    X_tr, Y_tr = X_tr[order], Y_tr[order]
+    sw_te = np.ones(X_te.shape[0])
+    batch_size = 50
+    nbatches = int(np.ceil(X_tr.shape[0] / batch_size))
+    batches = [(X_tr[b * batch_size:(b + 1) * batch_size],
+                Y_tr[b * batch_size:(b + 1) * batch_size])
+               for b in range(nbatches)]
+    f0 = float(obj_fun(w0, X_te, Y_te, sw_te, reg_param))
+
+    def run_sgd(step):
+        w = w0.copy()
+        curve = []
+        for Xb, Yb in batches:
+            w -= step * grad_fun(w, Xb, Yb, None, reg_param)
+            curve.append(float(obj_fun(w, X_te, Y_te, sw_te, reg_param)))
+        return curve
+
+    def run_rmsprop(step):
+        w = w0.copy()
+        acc = np.zeros_like(w)
+        curve = []
+        for Xb, Yb in batches:
+            g = grad_fun(w, Xb, Yb, None, reg_param)
+            acc = 0.9 * acc + 0.1 * g ** 2
+            w -= step * g / np.sqrt(acc + 1e-4)
+            curve.append(float(obj_fun(w, X_te, Y_te, sw_te, reg_param)))
+        return curve
+
+    def classify(curve):
+        # diverging = worse than the w0 loss at the end, or non-finite
+        final = curve[-1]
+        return (not np.isfinite(final)) or final > f0
+
+    sgd_runs, rms_runs = {}, {}
+    for step in sgd_steps:
+        c = run_sgd(step)
+        sgd_runs[f"{step:g}"] = {"final_loss": round(c[-1], 2),
+                                 "diverged": classify(c),
+                                 "curve": [round(v, 2) for v in c]}
+        print(f"SGD step {step:g}: final {c[-1]:.0f}"
+              f"{' DIVERGED' if classify(c) else ''}", flush=True)
+    for step in rms_steps:
+        c = run_rmsprop(step)
+        rms_runs[f"{step:g}"] = {"final_loss": round(c[-1], 2),
+                                 "diverged": classify(c),
+                                 "curve": [round(v, 2) for v in c]}
+        print(f"RMSProp step {step:g}: final {c[-1]:.0f}"
+              f"{' DIVERGED' if classify(c) else ''}", flush=True)
+
+    def best_of(runs):
+        ok = {k: v for k, v in runs.items() if not v["diverged"]}
+        if not ok:
+            return None
+        return min(ok.items(), key=lambda kv: kv[1]["final_loss"])
+
+    best_sgd = best_of(sgd_runs)
+    best_rms = best_of(rms_runs)
+
+    # re-score the recorded oLBFGS sweep against the tuned baselines
+    result = {
+        "note": ("fair-baseline rematch: SGD/RMSProp steps swept exactly "
+                 "like oLBFGS's were; 'diverged' = final test loss above "
+                 "the w0 loss; oLBFGS curves from "
+                 f"olbfgs_step_sweep_{source} re-scored against the best "
+                 "non-diverging baselines"),
+        "w0_loss": round(f0, 2),
+        "sgd_runs": sgd_runs,
+        "rmsprop_runs": rms_runs,
+        "best_sgd_step": best_sgd[0] if best_sgd else None,
+        "best_rmsprop_step": best_rms[0] if best_rms else None,
+    }
+
+    prior = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+    ol_sweep = prior.get(f"olbfgs_step_sweep_{source}", {}).get("runs", {})
+    if ol_sweep and best_sgd:
+        rematch = {}
+        for step, rec in ol_sweep.items():
+            adv = early_advantage(rec["curve"], best_sgd[1]["curve"])
+            entry = {"vs_tuned_sgd": adv,
+                     "final_ratio_vs_tuned_sgd": round(
+                         rec["final_loss"] / best_sgd[1]["final_loss"], 3)}
+            if best_rms:
+                entry["vs_tuned_rmsprop"] = early_advantage(
+                    rec["curve"], best_rms[1]["curve"])
+                entry["final_ratio_vs_tuned_rmsprop"] = round(
+                    rec["final_loss"] / best_rms[1]["final_loss"], 3)
+            rematch[step] = entry
+        best_ol = max(rematch.items(),
+                      key=lambda kv: kv[1]["vs_tuned_sgd"]
+                      ["frac_ahead_of_sgd"])
+        result["olbfgs_rematch"] = rematch
+        result["best_olbfgs_step_vs_tuned"] = best_ol[0]
+        result["claim_vs_tuned_sgd"] = (
+            best_ol[1]["vs_tuned_sgd"]["frac_ahead_of_sgd"] >= 0.5)
+        print(f"best oLBFGS step vs tuned SGD: {best_ol[0]} "
+              f"(frac ahead {best_ol[1]['vs_tuned_sgd']['frac_ahead_of_sgd']},"
+              f" final ratio {best_ol[1]['final_ratio_vs_tuned_sgd']})")
+
+    _merge_write(args.out, {f"sgd_step_sweep_{source}": result})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=None,
@@ -252,6 +375,10 @@ def main():
     ap.add_argument("--structured", action="store_true",
                     help="use the structured synthetic fallback (power-law "
                          "marginals + low-rank label co-occurrence)")
+    ap.add_argument("--sweep-sgd", default=None,
+                    help="comma-separated SGD step sizes: tune the "
+                         "SGD/RMSProp baselines and re-score the recorded "
+                         "oLBFGS sweep against the best non-diverging ones")
     ap.add_argument("--sweep-olbfgs", default=None,
                     help="comma-separated oLBFGS step sizes: run an "
                          "SGD-vs-oLBFGS early-advantage sweep instead of "
@@ -277,6 +404,9 @@ def main():
         source = "synthetic"
     print(f"dataset: {source}, X {X.shape}, Y {Y.shape}")
 
+    if args.sweep_sgd:
+        sweep_sgd(args, X, Y, source)
+        return
     if args.sweep_olbfgs:
         sweep_olbfgs(args, X, Y, source)
         return

@@ -55,9 +55,19 @@ CELLS = {
     "depth_36": (36, 512),
     "depth_144": (144, 512),
     "wide_bs2048": (36, 2048),
+    # group-size-4 cell (VERDICT r4 item 6): same shape as the 0.973
+    # wide_bs2048 cell, but a 4-process cluster.  This host has only 4
+    # cores, so each worker gets ONE core (vs two in the 2-proc cells) —
+    # absolute rates are not comparable across group sizes, but the
+    # cluster/ablated pair inside the cell shares resources exactly, so
+    # eff and exposed_collective_us remain well-defined.
+    "wide_bs2048_4proc": (36, 2048),
 }
-REPS = {"depth_36": 7, "depth_144": 3, "wide_bs2048": 5}
-EPOCHS_TIMED = {"depth_36": 3, "depth_144": 1, "wide_bs2048": 1}
+REPS = {"depth_36": 7, "depth_144": 3, "wide_bs2048": 5,
+        "wide_bs2048_4proc": 3}
+EPOCHS_TIMED = {"depth_36": 3, "depth_144": 1, "wide_bs2048": 1,
+                "wide_bs2048_4proc": 1}
+PROCS = {"wide_bs2048_4proc": 4}          # default 2
 
 SCALING_PATH = os.path.join(REPO, "SCALING.json")
 
@@ -66,7 +76,11 @@ def worker(pid, nproc, port, cell, mode):
     depth, bs = CELLS[cell]
     os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=1"
                                " --xla_cpu_max_isa=AVX2")
-    os.sched_setaffinity(0, {2 * pid, 2 * pid + 1})
+    ncpu = os.cpu_count() or 4
+    if nproc * 2 <= ncpu:
+        os.sched_setaffinity(0, {2 * pid, 2 * pid + 1})
+    else:                       # 4-proc cell on the 4-core host: 1 core each
+        os.sched_setaffinity(0, {pid % ncpu})
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
@@ -135,6 +149,7 @@ def worker(pid, nproc, port, cell, mode):
 
 
 def run_once(cell, mode):
+    nproc = PROCS.get(cell, 2)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
@@ -143,9 +158,9 @@ def run_once(cell, mode):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker",
-         str(i), "2", str(port), cell, mode],
+         str(i), str(nproc), str(port), cell, mode],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+        stderr=subprocess.STDOUT, text=True) for i in range(nproc)]
     out = [p.communicate(timeout=1800)[0] for p in procs]
     for p, log in zip(procs, out):
         if p.returncode != 0:
@@ -172,6 +187,18 @@ def set_sysctl():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="comma-separated cell names to (re)run; results "
+                         "merge into the existing overlap_ablation section")
+    args = ap.parse_args()
+    cells = (list(CELLS) if args.only is None
+             else [c.strip() for c in args.only.split(",")])
+    for c in cells:
+        if c not in CELLS:
+            raise SystemExit(f"unknown cell {c!r}; have {list(CELLS)}")
+
     sysctl_state = set_sysctl()
     print(f"sysctl tcp_slow_start_after_idle: {sysctl_state}", flush=True)
 
@@ -187,7 +214,7 @@ def main():
                  "constant while compute grows."),
         "sysctl_tcp_slow_start_after_idle": sysctl_state,
     }
-    for cell in CELLS:
+    for cell in cells:
         pairs = []
         for rep in range(REPS[cell]):
             a = run_once(cell, "cluster")
@@ -205,6 +232,7 @@ def main():
         effs = sorted(p["eff"] for p in pairs)
         exps = sorted(p["exposed_collective_us"] for p in pairs)
         results[cell] = {
+            "n_processes": PROCS.get(cell, 2),
             "pairs": pairs,
             "exposed_collective_us_median": exps[len(exps) // 2],
             "weak_scaling_eff_median": effs[len(effs) // 2],
@@ -215,7 +243,11 @@ def main():
 
     with open(SCALING_PATH) as f:
         scaling = json.load(f)
-    scaling["overlap_ablation"] = results      # merge, never overwrite
+    # merge per CELL: a partial (--only) run must never clobber the
+    # other cells' recorded results
+    section = scaling.get("overlap_ablation", {})
+    section.update(results)
+    scaling["overlap_ablation"] = section
     with open(SCALING_PATH, "w") as f:
         json.dump(scaling, f, indent=1)
     print("wrote SCALING.json['overlap_ablation']")
