@@ -146,6 +146,26 @@ def _variant_bodies(cfg, grad_fn):
         d = st.x * wg[0].astype(st.x.dtype)      # keep the pass live
         return _tail(st, d, eta)
 
+    def twoloop_vpu_expand(st, batch, eta):
+        # full collapsed two-loop, but the EXPAND pass as a broadcast-
+        # multiply + row reduction instead of a [1,2m]x[2m,n] matmul —
+        # probes whether the matmul form's 2x-cost second pass is a
+        # layout/transpose artifact.
+        from stochqn_tpu.ops.two_loop import _mem_mm
+        mem = st.mem
+        g = st.x                    # gradient skipped, like twoloop_only
+        acc_t = mem.bwd_inv.dtype
+        w = jnp.concatenate([mem.s, mem.y], axis=0)
+        gamma = jnp.where(mem.count > 0, mem.gamma,
+                         jnp.ones_like(mem.gamma))
+        c = mem.c0 + gamma * mem.cg
+        wg = _mem_mm(w, g, acc_t)
+        u = jnp.matmul(c, wg, preferred_element_type=acc_t)
+        d_acc = gamma * g.astype(acc_t) \
+            + jnp.sum(u[:, None] * w.astype(acc_t), axis=0)
+        d = jnp.where(mem.count > 0, d_acc, g.astype(acc_t)).astype(g.dtype)
+        return _tail(st, d, eta)
+
     def twoloop_no_small(st, batch, eta):
         # TWO passes, tiny c-matmul skipped: prices the small math chain.
         from stochqn_tpu.ops.two_loop import _mem_mm
@@ -164,6 +184,7 @@ def _variant_bodies(cfg, grad_fn):
         "twoloop_only": twoloop_only,
         "twoloop_one_pass": twoloop_one_pass,
         "twoloop_no_small": twoloop_no_small,
+        "twoloop_vpu_expand": twoloop_vpu_expand,
         "updates_only": updates_only,
     }
 
@@ -348,6 +369,28 @@ def main():
         for ne in (EPOCHS_SMALL, EPOCHS_BIG):
             programs[(name, ne)] = _epochs_program(body, ne)
 
+    # full engine with the ROUNDS UNROLLED inside the epoch body (the
+    # boundary's ring-row DUS then sits in straight-line code where XLA
+    # can update in place, instead of inside the round-scan carry where
+    # the probes price it at ~150 us/boundary of buffer copying)
+    rounds_n_ = NUM_BATCHES // UPD_FREQ
+
+    def _full_unrolled(nepochs):
+        @jax.jit
+        def run(state, data_r, eta):
+            def epoch(st, _):
+                for r in range(rounds_n_):
+                    rd = jax.tree_util.tree_map(lambda a, _r=r: a[_r],
+                                                data_r)
+                    st, _ = trainer.round(st, rd, eta)
+                return st, jnp.zeros((), jnp.int32)
+            st, _ = jax.lax.scan(epoch, state, None, length=nepochs)
+            return st
+        return run
+
+    for ne in (EPOCHS_SMALL, EPOCHS_BIG):
+        programs[("full_unrolled", ne)] = _full_unrolled(ne)
+
     # scan_min: trivial [8]-carry body, same trip counts
     for ne in (EPOCHS_SMALL, EPOCHS_BIG):
         @jax.jit
@@ -375,7 +418,7 @@ def main():
         elif name == "scan_min":
             out = programs[key](v8, data, eta)
             float(jnp.sum(out))
-        elif name.startswith("round_"):
+        elif name.startswith("round_") or name == "full_unrolled":
             out = programs[key](state, data_r, eta)
             float(jnp.sum(out.x))
         else:
@@ -383,9 +426,10 @@ def main():
             float(jnp.sum(out.x))
         return time.perf_counter() - t0
 
-    names = ["full", "base_only", "base_noguard", "grad_only",
+    names = ["full", "full_unrolled", "base_only", "base_noguard",
+             "grad_only",
              "twoloop_only", "twoloop_one_pass", "twoloop_no_small",
-             "updates_only", "scan_min",
+             "twoloop_vpu_expand", "updates_only", "scan_min",
              "round_full", "round_jvp_only", "round_commit_only",
              "round_commit_nocache", "round_commit_gram_only",
              "round_commit_rows_only", "round_commit_p_only",
@@ -428,6 +472,10 @@ def main():
             m["base_only"] - ((m["base_only"] - m["twoloop_only"])
                               + (m["base_only"] - m["grad_only"])
                               + m["updates_only"]), 2),
+        # candidate fixes, measured head-to-head with the engine
+        "full_unrolled_rounds": m["full_unrolled"],
+        "vpu_expand_vs_matmul_expand": round(
+            m["twoloop_vpu_expand"] - m["twoloop_only"], 2),
         # two-loop internals (per step): first pass, marginal second
         # pass, and the tiny-matvec chain between them
         "twoloop_first_pass": round(

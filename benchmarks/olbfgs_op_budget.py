@@ -104,7 +104,74 @@ def variant_step(cfg, variant):
     return step
 
 
-def timed(step_fn, state):
+def variant_step_interleaved(cfg, variant):
+    """The bf16+interleaved-era ladder (VERDICT r4 item 4): same ablation
+    ideas against the production flat-[2m, n] storage.  Variants:
+    full / one_grad / no_commit / slab_only (the single [2, n] ring-slab
+    write, no Gram, no cache) / no_cache (slab + Gram slabs)."""
+    def step(state, batch, step_size):
+        g = grad_fn(state.x, batch)
+        d = two_loop_cached(g, state.mem, h0=cfg.hess_init)
+        bad = direction_is_bad(d)
+        s_cand = -step_size * d
+        x_new = jnp.where(bad, state.x, state.x + s_cand)
+        mem = conditional_flush(state.mem.replace(s_pending=s_cand), bad)
+
+        if variant == "one_grad":
+            y_cand = g * 1.000001 - g
+        else:
+            g2 = grad_fn(x_new, batch)
+            y_cand = g2 - g
+
+        if variant == "no_commit":
+            mem_final = state.mem
+        else:
+            size = mem.mem_size
+            st_t = mem.sy.dtype
+            slab = jnp.stack([s_cand.astype(st_t), y_cand.astype(st_t)])
+            new_sy = jax.lax.dynamic_update_slice_in_dim(
+                mem.sy, slab, 2 * mem.head, axis=0)
+            mem_final = mem.replace(
+                sy=new_sy,
+                head=(mem.head + 1) % size,
+                count=jnp.minimum(mem.count + 1, size))
+            if variant in ("full", "no_cache"):
+                gram_t = mem.gram.dtype
+                p = _mem_mm(new_sy, slab.T.astype(jnp.float32), gram_t)
+                zero = jnp.zeros((), mem.head.dtype)
+                gram = jax.lax.dynamic_update_slice(
+                    mem.gram, p.astype(gram_t), (zero, 2 * mem.head))
+                gram = jax.lax.dynamic_update_slice(
+                    gram, p.T.astype(gram_t), (2 * mem.head, zero))
+                mem_final = mem_final.replace(gram=gram)
+                if variant == "full":
+                    cache = _small_cache(gram, mem_final.head,
+                                         mem_final.count, size,
+                                         interleaved=True)
+                    mem_final = mem_final.replace(**cache)
+
+        mem_final = mem_final.replace(s_pending=state.mem.s_pending)
+        return state.replace(x=x_new, mem=mem_final,
+                             niter=state.niter + 1), bad
+
+    return step
+
+
+def bf16_interleaved_floor():
+    """Modeled HBM-resident bytes/step floor for bf16 flat-[2m, n]
+    storage (the round-5 update of the round-3 f32-block floor):
+    two direction passes over the pairs + the commit's Gram pass (3 reads
+    of 2m*n*2 bytes), the [2, n] slab write, two batch reads, and ~8
+    f32 n-vector streams."""
+    pair = 2 * MEM * N * 2
+    batch = BS * N_FEATURES * 4
+    vecs = 8 * N * 4
+    slab = 2 * N * 2
+    total = 3 * pair + slab + 2 * batch + vecs
+    return total, total / 819e9 * 1e6
+
+
+def timed(step_fn, state, unroll=1):
     rngd = np.random.default_rng(3)
     X = jnp.asarray(rngd.standard_normal((B, BS, N_FEATURES)), jnp.float32)
     Y = jnp.asarray(np.eye(N_CLASSES)[rngd.integers(0, N_CLASSES, (B, BS))],
@@ -114,7 +181,7 @@ def timed(step_fn, state):
         def sweep(st, _):
             def body(st2, batch):
                 return step_fn(st2, batch, jnp.float32(1e-2))
-            st, outs = jax.lax.scan(body, st, data)
+            st, outs = jax.lax.scan(body, st, data, unroll=unroll)
             probe = jax.tree_util.tree_leaves(outs)[0]
             return st.replace(
                 x=st.x + 1e-30 * jnp.sum(probe).astype(st.x.dtype)), ()
@@ -138,11 +205,48 @@ def timed(step_fn, state):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bf16-interleaved", action="store_true",
+                    help="run the ladder in the production oLBFGS opt-in "
+                         "configuration (pairs_bf16 + pairs_interleaved)")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(3)
     X = jnp.asarray(rng.standard_normal((B, BS, N_FEATURES)), jnp.float32)
     Y = jnp.asarray(np.eye(N_CLASSES)[rng.integers(0, N_CLASSES, (B, BS))],
                     jnp.float32)
     x0 = jnp.asarray(rng.standard_normal(N), jnp.float32)
+
+    if args.bf16_interleaved:
+        nbytes, floor_us = bf16_interleaved_floor()
+        print(f"bf16+interleaved modeled HBM floor: {nbytes / 1e6:.1f} "
+              f"MB/step = {floor_us:.1f} us/step (VMEM-resident passes "
+              "would be lower)", flush=True)
+        cfg = OLBFGSConfig.create(mem_size=MEM, min_curvature=None,
+                                  pairs_bf16=True, pairs_interleaved=True)
+        tr = FusedTrainer("oLBFGS", cfg, grad_fn, donate=True)
+        warm, _ = tr.jit_epoch()(tr.init(x0), (X, Y), jnp.float32(1e-2))
+
+        def production(state, batch, step_size):
+            return olbfgs_step(cfg, grad_fn, state, batch, step_size)
+
+        print(f"{'production':12s}: {timed(production, warm):7.1f} "
+              "us/step", flush=True)
+        # inner-scan unroll: oLBFGS mutates the ring EVERY step, so the
+        # scan-carry DUS copy cost (flagship attribution: ~139 us per
+        # boundary for SQN) applies per STEP here — unrolling may pay
+        # where it measured negative for SQN (unroll_sweep.py)
+        for k in (2, 4, 8):
+            us = timed(functools.partial(olbfgs_step, cfg, grad_fn),
+                       warm, unroll=k)
+            print(f"{'prod_unroll' + str(k):12s}: {us:7.1f} us/step",
+                  flush=True)
+        for variant in ("full", "one_grad", "no_commit", "slab_only",
+                        "no_cache"):
+            us = timed(variant_step_interleaved(cfg, variant), warm)
+            print(f"{variant:12s}: {us:7.1f} us/step", flush=True)
+        return
 
     cfg = OLBFGSConfig.create(mem_size=MEM, min_curvature=None)
     tr = FusedTrainer("oLBFGS", cfg, grad_fn, donate=True)

@@ -488,6 +488,20 @@ class FusedTrainer:
     # all-reduce then reappears, exactly as in the pre-sharded-data
     # paths).  None = let GSPMD decide.
     batch_constraint: Optional[Callable[[Batch], Batch]] = None
+    # Unroll the per-ROUND scan of the chunked epoch into straight-line
+    # code (None = auto: unroll when the epoch has <= 8 rounds).  The
+    # boundary commit mutates the [m, n] ring buffers through dynamic-
+    # update-slices; inside a lax.scan carry XLA pays a full pair-memory
+    # copy at (nearly) every boundary — the round-5 attribution probes
+    # price the ring-row writes at ~139 us/boundary at the flagship
+    # shape, ~4x the actual row bytes.  Unrolling turns the 6 boundary
+    # DUS chains of an epoch into consecutive straight-line updates that
+    # alias in place: measured 44.3 -> 41.9 us/step on the flagship
+    # workload (benchmarks/flagship_attribution.py, "full_unrolled").
+    # Trajectory-identical (same ops, same order; locked by
+    # tests/test_fused.py::test_unrolled_rounds_trajectory_identical).
+    # The threshold bounds compile-time growth for many-round epochs.
+    unroll_rounds: Optional[bool] = None
 
     _epoch_jit: Any = dataclasses.field(default=None, repr=False,
                                         compare=False)
@@ -629,6 +643,18 @@ class FusedTrainer:
         rounds = num_batches // L
         data_r = jax.tree_util.tree_map(
             lambda a: a.reshape((rounds, L) + a.shape[1:]), data)
+
+        unroll = self.unroll_rounds
+        if unroll is None:
+            unroll = rounds <= 8
+        if unroll:
+            infos = []
+            st = state
+            for r in range(rounds):
+                rd = jax.tree_util.tree_map(lambda a, _r=r: a[_r], data_r)
+                st, inf = self.round(st, rd, step_size)
+                infos.append(inf)
+            return st, jnp.concatenate(infos)
 
         def round_body(st, round_data):
             return self.round(st, round_data, step_size)

@@ -618,3 +618,43 @@ def test_jit_epochs_scheduled_matches_manual_gather(rng, kind):
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(infos_s), np.stack(infos_r))
     assert int(st_s.niter) == int(st_r.niter) == E * B
+
+
+def test_unrolled_rounds_trajectory_identical(rng):
+    """The unrolled-rounds chunked epoch (the auto default at <= 8
+    rounds, taken for the ring-buffer in-place commit win — see the
+    FusedTrainer.unroll_rounds field) must be bit-compatible with the
+    round-scan layout for every optimizer."""
+    import dataclasses
+    from stochqn_tpu.core.config import (AdaQNConfig, OLBFGSConfig,
+                                         SQNConfig)
+
+    n, B, bs, L = 12, 8, 4, 4
+    a = jnp.asarray(rng.uniform(0.5, 2.0, n))
+
+    def grad_fn(x, batch):
+        return a * (x - jnp.mean(batch, axis=0))
+
+    def obj_fn(x, batch):
+        r = x - jnp.mean(batch, axis=0)
+        return 0.5 * jnp.vdot(r, a * r)
+
+    data = jnp.asarray(rng.standard_normal((B, bs, n)))
+    for optimizer, cfg, kw in [
+        ("SQN", SQNConfig.create(mem_size=3, bfgs_upd_freq=L), {}),
+        ("adaQN", AdaQNConfig.create(mem_size=3, bfgs_upd_freq=L,
+                                     fisher_size=4, max_incr=1.01),
+         {"obj_fn": obj_fn}),
+    ]:
+        tr_scan = FusedTrainer(optimizer, cfg, grad_fn,
+                               unroll_rounds=False, **kw)
+        tr_unroll = dataclasses.replace(tr_scan, unroll_rounds=True)
+        st_s, info_s = jax.jit(tr_scan.epoch)(
+            tr_scan.init(jnp.zeros(n)), data, 0.05)
+        st_u, info_u = jax.jit(tr_unroll.epoch)(
+            tr_unroll.init(jnp.zeros(n)), data, 0.05)
+        np.testing.assert_allclose(np.asarray(st_u.x), np.asarray(st_s.x),
+                                   rtol=1e-12, atol=1e-14,
+                                   err_msg=optimizer)
+        assert np.array_equal(np.asarray(info_u), np.asarray(info_s))
+        assert int(st_u.niter) == int(st_s.niter) == B
