@@ -125,6 +125,28 @@ def variant_step_interleaved(cfg, variant):
 
         if variant == "no_commit":
             mem_final = state.mem
+        elif variant == "slab_shift":
+            # ring-as-shift: rewrite the whole [2m, n] buffer each step
+            # (newest pair always rows 0-1) — trades the DUS carry-copy
+            # for one full sequential rewrite.  head stays 0.
+            st_t = mem.sy.dtype
+            slab = jnp.stack([s_cand.astype(st_t), y_cand.astype(st_t)])
+            new_sy = jnp.concatenate([slab, mem.sy[:-2]], axis=0)
+            mem_final = mem.replace(
+                sy=new_sy,
+                count=jnp.minimum(mem.count + 1, mem.mem_size))
+            mem_final = mem_final.replace(s_pending=state.mem.s_pending)
+            return state.replace(x=x_new, mem=mem_final,
+                                 niter=state.niter + 1), bad
+        elif variant == "slab_small":
+            # write cost of a SMALL dedicated recent-pair buffer: DUS
+            # into grad_prev (an [n] carry leaf) stands in for a [2, n]
+            # recent slot; the big ring is untouched.  Prices the
+            # recent-buffer/merge redesign's per-step write.
+            mem_final = mem.replace(s_pending=state.mem.s_pending)
+            return state.replace(x=x_new, mem=mem_final,
+                                 grad_prev=y_cand,
+                                 niter=state.niter + 1), bad
         else:
             size = mem.mem_size
             st_t = mem.sy.dtype
@@ -243,7 +265,7 @@ def main():
             print(f"{'prod_unroll' + str(k):12s}: {us:7.1f} us/step",
                   flush=True)
         for variant in ("full", "one_grad", "no_commit", "slab_only",
-                        "no_cache"):
+                        "no_cache", "slab_shift", "slab_small"):
             us = timed(variant_step_interleaved(cfg, variant), warm)
             print(f"{variant:12s}: {us:7.1f} us/step", flush=True)
         return

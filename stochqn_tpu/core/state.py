@@ -127,16 +127,19 @@ class BFGSMemory:
 
 @struct.dataclass
 class BFGSMemoryInterleaved:
-    """:class:`BFGSMemory` with the pair rows stored interleaved.
+    """:class:`BFGSMemory` with the pair rows stored interleaved, as a
+    SHIFT buffer (newest pair first) rather than a rotating ring.
 
-    ``sy[2i] = s_i``, ``sy[2i + 1] = y_i`` — one ``[2m, n]`` buffer, so a
-    ring commit is ONE contiguous ``[2, n]`` dynamic-update-slice instead of
-    two ``[n]`` row writes into separate buffers, and the incremental Gram
-    update is two contiguous ``[2, .]`` slabs instead of four rows/columns.
-    Motivation: oLBFGS commits a pair EVERY iteration and its per-step
-    budget is dominated by mutated-carry HBM writes (~27 us per ring-row
-    write at the flagship shape — BENCH_NOTES "oLBFGS op budget"); the
-    interleaved layout halves the write count.
+    ``sy[2i] = s`` / ``sy[2i + 1] = y`` of the i-th NEWEST pair — one
+    ``[2m, n]`` buffer.  A commit rebuilds it in one fused sequential
+    pass (``[new slab; sy[:-2]]``, vetoed by a scalar select on reject);
+    ``head`` is kept for API symmetry but is always 0 — chronology is
+    positional.  Motivation: oLBFGS commits a pair EVERY iteration, and
+    a dynamic-update-slice into a ``lax.scan`` carry makes XLA copy the
+    whole buffer before writing (measured 55 us/step at the flagship
+    shape vs 36.5 us for the shift rewrite — BENCH_NOTES "oLBFGS op
+    budget", round 5); two separate ``[n]`` row writes into block-layout
+    buffers cost even more (~27 us each).
 
     Why ``[2m, n]`` flat and not ``[m, 2, n]``: on TPU the physical tiling
     follows the two minor dimensions, and a ``[.., 2, n]`` buffer gets a

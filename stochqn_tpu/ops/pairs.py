@@ -100,26 +100,29 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     # reject (an idempotent rewrite — O(n), not O(m n)).
     if interleaved:
         st_t = mem.sy.dtype  # may be a narrower storage dtype (pairs_bf16)
-        cur = jax.lax.dynamic_slice_in_dim(mem.sy, 2 * mem.head, 2,
-                                           axis=0)              # [2, n]
-        row_s = jnp.where(accepted, s.astype(st_t), cur[0])
-        row_y = jnp.where(accepted, y_cand.astype(st_t), cur[1])
-        # ONE contiguous [2, n] slab write — the layout's whole point
-        # (oLBFGS commits every iteration; each mutated ring-row write in
-        # the scan carry costs ~27 us at the flagship shape).
-        new_sy = jax.lax.dynamic_update_slice_in_dim(
-            mem.sy, jnp.stack([row_s, row_y]), 2 * mem.head, axis=0)
-        w_new = new_sy                                         # IS [2m, n]
-        p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
-                    gram_t)                                    # [2m, 2]
-        # The touched row/column of W W^T are CONTIGUOUS 2-slabs here (rows
-        # 2h, 2h+1) — two dynamic_update_slices instead of four.  The [2, 2]
-        # intersection is symmetric, so update order is immaterial.
-        zero = jnp.zeros((), mem.head.dtype)
-        gram = jax.lax.dynamic_update_slice(
-            mem.gram, p.astype(gram_t), (zero, 2 * mem.head))
-        gram = jax.lax.dynamic_update_slice(
-            gram, p.T.astype(gram_t), (2 * mem.head, zero))
+        # SHIFT ring (round 5): the newest pair lives at rows 0-1 and a
+        # commit REBUILDS the buffer as one fused sequential pass
+        # (select(accepted, [slab; sy[:-2]], sy)) instead of a
+        # dynamic-update-slice into the ring slot.  Rationale: a DUS into
+        # a ``lax.scan`` carry makes XLA copy the whole [2m, n] buffer
+        # before writing the slab (measured 55 us/step at the flagship
+        # shape vs 36.5 us for the shift rewrite —
+        # ``benchmarks/olbfgs_op_budget.py --bf16-interleaved``, variants
+        # slab_only vs slab_shift), and oLBFGS pays a commit EVERY
+        # iteration.  ``head`` stays 0: chronology is positional (newest
+        # first — see ``_small_cache``'s interleaved perm).
+        slab = jnp.stack([s.astype(st_t), y_cand.astype(st_t)])
+        shifted = jnp.concatenate([slab, mem.sy[:-2]], axis=0)
+        new_sy = jnp.where(accepted, shifted, mem.sy)
+        p = _mem_mm(new_sy, slab.T, gram_t)                    # [2m, 2]
+        # Gram shifts with the rows: old block moves down-right by 2, the
+        # new pair's row/column come from one pass over the new buffer.
+        # All O(m^2) — the [2m, n] traffic above is what matters.
+        g_shift = jnp.zeros_like(mem.gram)
+        g_shift = g_shift.at[2:, 2:].set(mem.gram[:-2, :-2])
+        g_shift = g_shift.at[:, 0:2].set(p.astype(gram_t))
+        g_shift = g_shift.at[0:2, :].set(p.T.astype(gram_t))
+        gram = jnp.where(accepted, g_shift, mem.gram)
         buf_updates = dict(sy=new_sy)
     else:
         st_t = mem.s.dtype
@@ -151,7 +154,10 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
             gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
         buf_updates = dict(s=new_s, y=new_y)
 
-    new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
+    if interleaved:
+        new_head = mem.head            # shift layout: head is always 0
+    else:
+        new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
     new_count = jnp.where(accepted, jnp.minimum(mem.count + 1, size),
                           mem.count)
     cache = _small_cache(gram, new_head, new_count, size,
@@ -185,8 +191,15 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     """
     m = mem_size
     acc_t = gram.dtype
-    perm = _chrono_perm(m, head, count)
     cidx = jnp.arange(m, dtype=jnp.int32)
+    if interleaved:
+        # shift layout: the newest pair is storage slot 0, so the c-th
+        # OLDEST of `count` live pairs sits at slot count-1-c (invalid
+        # c values land on arbitrary in-range slots, masked downstream
+        # via rho/validf like the ring layout's stale slots)
+        perm = jnp.mod(count - 1 - cidx, m)
+    else:
+        perm = _chrono_perm(m, head, count)
     valid = cidx < count
     validf = valid.astype(acc_t)
 

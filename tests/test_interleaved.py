@@ -60,7 +60,9 @@ def test_directions_match_block_layout(rng, collapsed):
     d0, a0, c0, h0 = _drive(*stream, False, collapsed)
     d1, a1, c1, h1 = _drive(*stream, True, collapsed)
     np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
-    assert int(c0) == int(c1) == M and int(h0) == int(h1)  # ring wrapped
+    assert int(c0) == int(c1) == M                         # ring wrapped
+    # block layout rotates head; the interleaved SHIFT layout pins it at 0
+    assert int(h0) == 10 % M and int(h1) == 0
     assert int(np.sum(np.asarray(a0))) == 10               # rejects exercised
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
                                rtol=2e-5, atol=1e-6)
