@@ -141,6 +141,15 @@ class BFGSMemoryInterleaved:
     budget", round 5); two separate ``[n]`` row writes into block-layout
     buffers cost even more (~27 us each).
 
+    ``shift`` (static, decided at :meth:`create`): the shift rewrite
+    holds input AND output buffers live across the commit, so its PEAK
+    footprint is 2x the pair memory — fine at streaming scale, fatal at
+    the capacity ceiling (the n=128M bf16 cell OOMed when shift was
+    unconditional).  Buffers larger than :data:`SHIFT_MAX_BYTES` fall
+    back to the round-4 DUS ring (rotating ``head``, in-place at the
+    donated program boundary), which is what carries the 128M capacity
+    claim.  Chronology handling follows the mode (``ops/pairs``).
+
     Why ``[2m, n]`` flat and not ``[m, 2, n]``: on TPU the physical tiling
     follows the two minor dimensions, and a ``[.., 2, n]`` buffer gets a
     ``T(2, 128)`` tile — only 2 of 8 sublanes used, quartering the
@@ -175,15 +184,21 @@ class BFGSMemoryInterleaved:
     gamma: jax.Array
     c0: jax.Array         # [2m, 2m], INTERLEAVED order
     cg: jax.Array         # [2m, 2m], INTERLEAVED order
+    # static commit mode: True = shift rewrite (fast), False = DUS ring
+    # (capacity) — see the class docstring
+    shift: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
     def create(cls, mem_size: int, n: int, dtype=jnp.float32,
-               storage_dtype=None) -> "BFGSMemoryInterleaved":
+               storage_dtype=None, shift=None) -> "BFGSMemoryInterleaved":
         base = BFGSMemory.create(mem_size, n, dtype, storage_dtype)
         kw = {f: getattr(base, f) for f in
               ("gram", "s_pending", "head", "count", "perm", "rho",
                "bwd_inv", "fwd_inv", "yy_c", "rl_c", "gamma", "c0", "cg")}
-        return cls(sy=jnp.zeros((2 * mem_size, n), dtype=base.s.dtype), **kw)
+        sy = jnp.zeros((2 * mem_size, n), dtype=base.s.dtype)
+        if shift is None:
+            shift = sy.size * sy.dtype.itemsize <= SHIFT_MAX_BYTES
+        return cls(sy=sy, shift=bool(shift), **kw)
 
     @property
     def mem_size(self) -> int:
@@ -201,6 +216,13 @@ class BFGSMemoryInterleaved:
     def flush(self) -> "BFGSMemoryInterleaved":
         zero = jnp.zeros((), dtype=jnp.int32)
         return self.replace(head=zero, count=zero)
+
+
+# Above this pair-buffer size the interleaved layout commits via the
+# round-4 DUS ring instead of the shift rewrite: the shift's transient
+# peak is 2x the buffer, which OOMed the n=128M bf16 capacity cell
+# (5.1 GB pairs) when shift was unconditional.
+SHIFT_MAX_BYTES = 4 * 1024 ** 3
 
 
 def make_bfgs_memory(mem_size: int, n: int, dtype=jnp.float32,

@@ -98,7 +98,29 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
     gram_t = mem.gram.dtype
     # Row to write: the candidate on accept, the existing contents on
     # reject (an idempotent rewrite — O(n), not O(m n)).
-    if interleaved:
+    if interleaved and not mem.shift:
+        # Capacity-mode commit (static fallback above
+        # ``state.SHIFT_MAX_BYTES``): the round-4 rotating ring with a
+        # single contiguous [2, n] dynamic-update-slice.  Slower in a
+        # scan carry (XLA copies the buffer first) but its peak footprint
+        # is 1x the pair memory where the shift rewrite needs 2x — this
+        # is the branch that carries the n=128M single-chip claim.
+        st_t = mem.sy.dtype
+        cur = jax.lax.dynamic_slice_in_dim(mem.sy, 2 * mem.head, 2,
+                                           axis=0)              # [2, n]
+        row_s = jnp.where(accepted, s.astype(st_t), cur[0])
+        row_y = jnp.where(accepted, y_cand.astype(st_t), cur[1])
+        new_sy = jax.lax.dynamic_update_slice_in_dim(
+            mem.sy, jnp.stack([row_s, row_y]), 2 * mem.head, axis=0)
+        p = _mem_mm(new_sy, jnp.stack([row_s, row_y], axis=1),
+                    gram_t)                                    # [2m, 2]
+        zero = jnp.zeros((), mem.head.dtype)
+        gram = jax.lax.dynamic_update_slice(
+            mem.gram, p.astype(gram_t), (zero, 2 * mem.head))
+        gram = jax.lax.dynamic_update_slice(
+            gram, p.T.astype(gram_t), (2 * mem.head, zero))
+        buf_updates = dict(sy=new_sy)
+    elif interleaved:
         st_t = mem.sy.dtype  # may be a narrower storage dtype (pairs_bf16)
         # SHIFT ring (round 5): the newest pair lives at rows 0-1 and a
         # commit REBUILDS the buffer as one fused sequential pass
@@ -154,7 +176,7 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
             gram, p[:, 1].astype(gram_t), size + mem.head, axis=0)
         buf_updates = dict(s=new_s, y=new_y)
 
-    if interleaved:
+    if interleaved and mem.shift:
         new_head = mem.head            # shift layout: head is always 0
     else:
         new_head = jnp.where(accepted, (mem.head + 1) % size, mem.head)
@@ -162,7 +184,8 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
                           mem.count)
     cache = _small_cache(gram, new_head, new_count, size,
                          direction_cache=direction_cache,
-                         interleaved=interleaved)
+                         interleaved=interleaved,
+                         shift=interleaved and mem.shift)
 
     new_mem = mem.replace(
         gram=gram,
@@ -176,7 +199,7 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
 
 def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
                  mem_size: int, direction_cache: bool = False,
-                 interleaved: bool = False) -> dict:
+                 interleaved: bool = False, shift: bool = False) -> dict:
     """Commit-time precomputation of everything in the two-loop that does
     not depend on the incoming gradient: chronological permutation, rho,
     the inverted backward/forward triangular systems, the chronological
@@ -192,7 +215,7 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     m = mem_size
     acc_t = gram.dtype
     cidx = jnp.arange(m, dtype=jnp.int32)
-    if interleaved:
+    if shift:
         # shift layout: the newest pair is storage slot 0, so the c-th
         # OLDEST of `count` live pairs sits at slot count-1-c (invalid
         # c values land on arbitrary in-range slots, masked downstream

@@ -37,10 +37,14 @@ def _commit_stream(rng, k=12, n=N):
     return jnp.asarray(svecs), jnp.asarray(yvecs), jnp.asarray(gvecs)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def _drive(svecs, yvecs, gvecs, interleaved, collapsed, storage_dtype=None):
-    cls = BFGSMemoryInterleaved if interleaved else BFGSMemory
-    mem = cls.create(M, N, jnp.float32, storage_dtype)
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _drive(svecs, yvecs, gvecs, interleaved, collapsed, storage_dtype=None,
+           shift=True):
+    if interleaved:
+        mem = BFGSMemoryInterleaved.create(M, N, jnp.float32,
+                                           storage_dtype, shift=shift)
+    else:
+        mem = BFGSMemory.create(M, N, jnp.float32, storage_dtype)
 
     def body(mem, sy):
         s, y, g = sy
@@ -64,6 +68,21 @@ def test_directions_match_block_layout(rng, collapsed):
     # block layout rotates head; the interleaved SHIFT layout pins it at 0
     assert int(h0) == 10 % M and int(h1) == 0
     assert int(np.sum(np.asarray(a0))) == 10               # rejects exercised
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("collapsed", [False, True])
+def test_ring_mode_matches_block_layout(rng, collapsed):
+    """The capacity-mode DUS ring (shift=False, taken automatically above
+    state.SHIFT_MAX_BYTES) must also match the block layout — and rotate
+    its head like a real ring."""
+    stream = _commit_stream(rng)
+    d0, a0, c0, h0 = _drive(*stream, False, collapsed)
+    d1, a1, c1, h1 = _drive(*stream, True, collapsed, None, False)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(a1))
+    assert int(c0) == int(c1) == M
+    assert int(h0) == int(h1) == 10 % M       # both rotate
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1),
                                rtol=2e-5, atol=1e-6)
 
