@@ -166,6 +166,28 @@ def _variant_bodies(cfg, grad_fn):
         d = jnp.where(mem.count > 0, d_acc, g.astype(acc_t)).astype(g.dtype)
         return _tail(st, d, eta)
 
+    def twoloop_wt_expand(st, batch, eta):
+        # expand pass from a TRANSPOSED pair memory: [n, 2m] @ [2m]
+        # (minor-dim contraction, n-major output) instead of u @ [2m, n]
+        # (major-dim contraction).  W is loop-invariant in this probe, so
+        # w.T hoists out of the scan — modeling a commit-maintained
+        # transposed cache.  If this collapses the second pass's 2x cost,
+        # the cache is worth its storage at streaming scale.
+        from stochqn_tpu.ops.two_loop import _mem_mm
+        mem = st.mem
+        g = st.x
+        acc_t = mem.bwd_inv.dtype
+        w = jnp.concatenate([mem.s, mem.y], axis=0)
+        w_t = w.T                                   # hoisted (invariant)
+        gamma = jnp.where(mem.count > 0, mem.gamma,
+                          jnp.ones_like(mem.gamma))
+        c = mem.c0 + gamma * mem.cg
+        wg = _mem_mm(w, g, acc_t)
+        u = jnp.matmul(c, wg, preferred_element_type=acc_t)
+        d_acc = gamma * g.astype(acc_t) + _mem_mm(w_t, u, acc_t)
+        d = jnp.where(mem.count > 0, d_acc, g.astype(acc_t)).astype(g.dtype)
+        return _tail(st, d, eta)
+
     def twoloop_no_small(st, batch, eta):
         # TWO passes, tiny c-matmul skipped: prices the small math chain.
         from stochqn_tpu.ops.two_loop import _mem_mm
@@ -185,6 +207,7 @@ def _variant_bodies(cfg, grad_fn):
         "twoloop_one_pass": twoloop_one_pass,
         "twoloop_no_small": twoloop_no_small,
         "twoloop_vpu_expand": twoloop_vpu_expand,
+        "twoloop_wt_expand": twoloop_wt_expand,
         "updates_only": updates_only,
     }
 
@@ -429,7 +452,8 @@ def main():
     names = ["full", "full_unrolled", "base_only", "base_noguard",
              "grad_only",
              "twoloop_only", "twoloop_one_pass", "twoloop_no_small",
-             "twoloop_vpu_expand", "updates_only", "scan_min",
+             "twoloop_vpu_expand", "twoloop_wt_expand",
+             "updates_only", "scan_min",
              "round_full", "round_jvp_only", "round_commit_only",
              "round_commit_nocache", "round_commit_gram_only",
              "round_commit_rows_only", "round_commit_p_only",
@@ -476,6 +500,8 @@ def main():
         "full_unrolled_rounds": m["full_unrolled"],
         "vpu_expand_vs_matmul_expand": round(
             m["twoloop_vpu_expand"] - m["twoloop_only"], 2),
+        "wt_expand_vs_matmul_expand": round(
+            m["twoloop_wt_expand"] - m["twoloop_only"], 2),
         # two-loop internals (per step): first pass, marginal second
         # pass, and the tiny-matvec chain between them
         "twoloop_first_pass": round(
