@@ -125,6 +125,35 @@ def variant_step_interleaved(cfg, variant):
 
         if variant == "no_commit":
             mem_final = state.mem
+        elif variant == "gram_old_buf":
+            # shift commit whose Gram pass reads the OLD buffer (it is
+            # independent of the shift write, so XLA can overlap them;
+            # the new pair's own 2x2 corner comes from three dots)
+            st_t = mem.sy.dtype
+            slab = jnp.stack([s_cand.astype(st_t), y_cand.astype(st_t)])
+            new_sy = jnp.concatenate([slab, mem.sy[:-2]], axis=0)
+            gram_t = mem.gram.dtype
+            q = _mem_mm(mem.sy[:-2], slab.T, gram_t)       # [2m-2, 2]
+            ss = jnp.vdot(s_cand, s_cand).astype(gram_t)
+            sy = jnp.vdot(s_cand, y_cand).astype(gram_t)
+            yy = jnp.vdot(y_cand, y_cand).astype(gram_t)
+            corner = jnp.stack([jnp.stack([ss, sy]),
+                                jnp.stack([sy, yy])])
+            p = jnp.concatenate([corner, q], axis=0)       # [2m, 2]
+            g_shift = jnp.zeros_like(mem.gram)
+            g_shift = g_shift.at[2:, 2:].set(mem.gram[:-2, :-2])
+            g_shift = g_shift.at[:, 0:2].set(p)
+            g_shift = g_shift.at[0:2, :].set(p.T)
+            mem_final = mem.replace(
+                sy=new_sy, gram=g_shift,
+                count=jnp.minimum(mem.count + 1, mem.mem_size))
+            cache = _small_cache(g_shift, mem_final.head, mem_final.count,
+                                 mem.mem_size, interleaved=True,
+                                 shift=True)
+            mem_final = mem_final.replace(**cache)
+            mem_final = mem_final.replace(s_pending=state.mem.s_pending)
+            return state.replace(x=x_new, mem=mem_final,
+                                 niter=state.niter + 1), bad
         elif variant == "slab_shift":
             # ring-as-shift: rewrite the whole [2m, n] buffer each step
             # (newest pair always rows 0-1) — trades the DUS carry-copy
@@ -265,7 +294,8 @@ def main():
             print(f"{'prod_unroll' + str(k):12s}: {us:7.1f} us/step",
                   flush=True)
         for variant in ("full", "one_grad", "no_commit", "slab_only",
-                        "no_cache", "slab_shift", "slab_small"):
+                        "no_cache", "slab_shift", "slab_small",
+                        "gram_old_buf"):
             us = timed(variant_step_interleaved(cfg, variant), warm)
             print(f"{variant:12s}: {us:7.1f} us/step", flush=True)
         return
