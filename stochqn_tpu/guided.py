@@ -276,7 +276,7 @@ class _GuidedBase:
         return X
 
     def fit(self, X, y, sample_weight=None, additional_kwargs={}, valset=None,
-            engine="protocol"):
+            engine="protocol", mesh=None):
         """Fit over ``nepochs`` epochs of ``batches_per_epoch`` batches,
         optionally early-stopping on a validation objective.
 
@@ -302,9 +302,25 @@ class _GuidedBase:
         one device program; ``verbose`` problem reports (curvature
         rejects etc.) are then printed after the fit completes rather
         than as they occur — same lines, deferred.
+
+        ``mesh`` (fused engine only): a ``jax.sharding.Mesh`` with
+        ``("data", "param")`` axes (:func:`stochqn_tpu.parallel.make_mesh`).
+        The optimizer state shards its parameter axis over ``param``, the
+        minibatch example axis shards over ``data`` (replicated with a
+        fallback when the batch size does not divide the axis), and the
+        whole-fit single-dispatch programs apply
+        :func:`stochqn_tpu.parallel.epoch_batch_constraint` so the
+        device-side shuffle gather keeps data-parallel gradients.
+        Trajectories match the unsharded fit to float reduction order
+        (locked by ``tests/test_guided_fused.py``).
         """
         if engine not in ("protocol", "fused"):
             raise ValueError("'engine' must be 'protocol' or 'fused'")
+        if mesh is not None and engine != "fused":
+            raise ValueError("'mesh' requires engine='fused' (the protocol "
+                             "loop is host-driven; use "
+                             "parallel.data_parallel_grad to shard its "
+                             "evaluations instead)")
         # introspection: how the LAST fit dispatched (refined in
         # _fit_fused; stays "protocol" on protocol runs AND on fused
         # runs that fall back before reaching _fit_fused)
@@ -343,7 +359,10 @@ class _GuidedBase:
             if reason is None:
                 return self._fit_fused(X, y, sample_weight,
                                        additional_kwargs, X_val, y_val,
-                                       w_val)
+                                       w_val, mesh=mesh)
+            if mesh is not None:
+                raise ValueError(f"mesh requires the fused engine, which "
+                                 f"is unavailable here ({reason})")
             warnings.warn(f"engine='fused' unavailable ({reason}); "
                           "falling back to the protocol loop.")
 
@@ -466,7 +485,26 @@ class _GuidedBase:
             return f"callables are not JAX-traceable: {exc}"
         return None
 
-    def _fit_fused(self, X, y, w, additional_kwargs, X_val, y_val, w_val):
+    @staticmethod
+    def _place_on_mesh(data, mesh, batched):
+        """Shard the example axis over the ``data`` mesh axis when it
+        divides evenly; replicate otherwise (both are correct — GSPMD
+        propagates either placement)."""
+        import jax
+        from stochqn_tpu.parallel import replicated, shard_batches
+        from stochqn_tpu.parallel.mesh import DATA_AXIS
+
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            DATA_AXIS, 1)
+        axis = 1 if batched else 0
+        leaves = jax.tree_util.tree_leaves(data)
+        if n_data > 1 and all(v.shape[axis] % n_data == 0 for v in leaves):
+            return shard_batches(data, mesh, batched=batched)
+        return jax.tree_util.tree_map(
+            lambda v: jax.device_put(v, replicated(mesh)), data)
+
+    def _fit_fused(self, X, y, w, additional_kwargs, X_val, y_val, w_val,
+                   mesh=None):
         """Epochs as single jitted device programs.  Same epoch shuffle
         order (``np.random.seed(random_state + epoch)`` + argsort), step
         schedule, early stopping and callbacks as the protocol path; see
@@ -485,12 +523,30 @@ class _GuidedBase:
             val_data = (jnp.asarray(X_val), jnp.asarray(y_val))
             if w_val is not None:
                 val_data += (jnp.asarray(w_val),)
+        batch_constraint = None
+        if mesh is not None:
+            from stochqn_tpu.parallel import (epoch_batch_constraint,
+                                              replicated)
+            from stochqn_tpu.parallel.mesh import PARAM_AXIS
+            n_param = dict(zip(mesh.axis_names,
+                               mesh.devices.shape)).get(PARAM_AXIS, 1)
+            if n_param > 1 and self.n % n_param:
+                raise ValueError(
+                    f"the mesh's param axis ({n_param}) must divide the "
+                    f"parameter count n={self.n}")
+            batch_constraint = epoch_batch_constraint(mesh)
+            if val_data is not None:
+                val_data = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(v, replicated(mesh)), val_data)
         trainer = FusedTrainer(
             self.optimizer_name, self.optimizer._cfg, grad_fn,
             obj_fn=obj_fn if self._fused_needs_obj() else None,
-            val_data=val_data)
+            val_data=val_data, batch_constraint=batch_constraint)
 
         state = self.optimizer.state
+        if mesh is not None:
+            from stochqn_tpu.parallel import shard_state
+            state = shard_state(state, mesh)
         epoch_fn = jax.jit(trainer.epoch, static_argnames=("aligned",))
         self.batch_size = X.shape[0] // self.batches_per_epoch
         L = getattr(self.optimizer, "bfgs_upd_freq", 1)
@@ -543,6 +599,8 @@ class _GuidedBase:
                                                    n_rows)]
                     orders[e] = cur[:kept]
                     steps[e] = self.decr_step_size(self.step_size, e)
+                if mesh is not None:
+                    parts = self._place_on_mesh(parts, mesh, batched=False)
                 state, infos = trainer.jit_epochs_scheduled()(
                     state, parts, jnp.asarray(steps, dtype),
                     jnp.asarray(orders), batch_size=self.batch_size,
@@ -558,8 +616,11 @@ class _GuidedBase:
                     steps = jnp.asarray(
                         [self.decr_step_size(self.step_size, e)
                          for e in range(self.nepochs)], dtype)
+                data = batchify(parts, self.batch_size)
+                if mesh is not None:
+                    data = self._place_on_mesh(data, mesh, batched=True)
                 state, infos = trainer.jit_epochs()(
-                    state, batchify(parts, self.batch_size), steps,
+                    state, data, steps,
                     nepochs=self.nepochs, aligned=aligned)
             infos_np = np.asarray(infos)           # [nepochs, B]
             last_info = Info(int(infos_np[-1, -1]))
@@ -590,6 +651,8 @@ class _GuidedBase:
             if we is not None:
                 parts += (jnp.asarray(we),)
             data = batchify(parts, self.batch_size)
+            if mesh is not None:
+                data = self._place_on_mesh(data, mesh, batched=True)
             eta = self.decr_step_size(self.step_size, self.epoch)
             state, infos = epoch_fn(state, data, jnp.asarray(eta, dtype),
                                     aligned=niter % L == 0)

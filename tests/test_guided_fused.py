@@ -370,3 +370,84 @@ def test_dispatch_mode_resets_on_protocol_fallback(rng):
     opt.fit(X, y, engine="protocol")
     assert opt._fused_dispatch_mode == "protocol"
     assert opt._fused_single_dispatch is False
+
+
+# ===========================================================================
+# mesh= : sharded guided fused fits (round 5)
+# ===========================================================================
+@pytest.mark.parametrize("shuffle", [True, False])
+def test_fused_fit_on_mesh_matches_unsharded(rng, shuffle):
+    """fit(engine='fused', mesh=...) on a (4 data x 2 param) mesh must
+    match the unsharded fused fit (shuffle=True takes the scheduled
+    whole-fit dispatch with the batch constraint; False the invariant
+    jit_epochs path)."""
+    import jax
+    from stochqn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, y = _linreg(rng, n_samples=200, n_features=8)
+    obj, grad, _ = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+
+    def make():
+        return SQN(x0, grad, obj_fun=obj, use_grad_diff=True,
+                   step_size=0.1, batches_per_epoch=10, bfgs_upd_freq=5,
+                   nepochs=4, shuffle_data=shuffle, verbose=False)
+
+    f_plain = make()
+    f_plain.fit(X, y, engine="fused")
+    mesh = make_mesh(n_data=4, n_param=2)
+    f_mesh = make()
+    f_mesh.fit(X, y, engine="fused", mesh=mesh)
+
+    expect = ("scheduled",) if shuffle else ("invariant", "decay")
+    assert f_mesh._fused_dispatch_mode in expect
+    np.testing.assert_allclose(f_mesh.x, f_plain.x, rtol=1e-8, atol=1e-10)
+    assert f_mesh.niter == f_plain.niter == 40
+
+
+def test_fused_fit_on_mesh_loop_path_and_errors(rng):
+    """The per-epoch loop path (callback_epoch forces host control) also
+    accepts a mesh; mesh with the protocol engine raises; a param axis
+    that does not divide n raises with a clear message."""
+    import jax
+    from stochqn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, y = _linreg(rng, n_samples=200, n_features=8)
+    obj, grad, _ = _lsq_funs()
+    x0 = np.zeros(X.shape[1])
+    mesh = make_mesh(n_data=4, n_param=2)
+
+    calls = []
+
+    def make(**kw):
+        return SQN(x0, grad, obj_fun=obj, use_grad_diff=True,
+                   step_size=0.1, batches_per_epoch=10, bfgs_upd_freq=5,
+                   nepochs=3, verbose=False, **kw)
+
+    f_plain = make(callback_epoch=lambda x: None)
+    f_plain.fit(X, y, engine="fused")
+    f_mesh = make(callback_epoch=lambda x: calls.append(1))
+    f_mesh.fit(X, y, engine="fused", mesh=mesh)
+    assert len(calls) == 3
+    np.testing.assert_allclose(f_mesh.x, f_plain.x, rtol=1e-8, atol=1e-10)
+
+    with pytest.raises(ValueError, match="mesh.*requires engine='fused'"
+                       if False else "requires engine='fused'"):
+        make().fit(X, y, engine="protocol", mesh=mesh)
+
+    mesh3 = make_mesh(n_data=2, n_param=4,
+                      devices=jax.devices()[:8])
+    x0_odd = np.zeros(7)   # 7 % 4 != 0
+
+    def grad7(w, Xb, yb, sample_weight=None, **kw):
+        return grad(w, Xb[:, :7], yb, sample_weight=sample_weight)
+
+    f_bad = SQN(x0_odd, grad7, obj_fun=None, use_grad_diff=True,
+                step_size=0.1, batches_per_epoch=10, bfgs_upd_freq=5,
+                nepochs=2, verbose=False)
+    with pytest.raises(ValueError, match="must divide the parameter"):
+        f_bad.fit(X, y, engine="fused", mesh=mesh3)
