@@ -88,13 +88,16 @@ class StochasticLogisticRegression:
     def __init__(self, reg_param=1e-3, fit_intercept=True, random_state=1,
                  optimizer="SQN", step_size=1e-1, valset_frac=0.1,
                  verbose=False, dtype=jnp.float32, engine="protocol",
-                 **optimizer_kwargs):
+                 mesh=None, **optimizer_kwargs):
         if optimizer not in ("oLBFGS", "SQN", "adaQN"):
             raise ValueError("'optimizer' must be one of 'oLBFGS', 'SQN', "
                              "'adaQN'")
         if engine not in ("protocol", "fused"):
             raise ValueError("'engine' must be 'protocol' or 'fused'")
+        if mesh is not None and engine != "fused":
+            raise ValueError("'mesh' requires engine='fused'")
         self.engine = engine
+        self.mesh = mesh
         if step_size <= 0:
             raise ValueError("'step_size' must be positive")
         if reg_param < 0:
@@ -405,6 +408,21 @@ class StochasticLogisticRegression:
 
         batch_size = max(1, Yd.shape[0] // int(batches_per_epoch))
         data = batchify((*feats, Yd, Wd), batch_size)
+        if self.mesh is not None:
+            # shard the state's parameter axis + the example axis; see
+            # guided.fit(mesh=...) for semantics (same helper)
+            from stochqn_tpu.guided import _GuidedBase
+            from stochqn_tpu.parallel import shard_state
+            from stochqn_tpu.parallel.mesh import PARAM_AXIS
+            n_param = dict(zip(self.mesh.axis_names,
+                               self.mesh.devices.shape)).get(PARAM_AXIS, 1)
+            n = int(state.x.shape[0])
+            if n_param > 1 and n % n_param:
+                raise ValueError(
+                    f"the mesh's param axis ({n_param}) must divide the "
+                    f"parameter count n={n}")
+            state = shard_state(state, self.mesh)
+            data = _GuidedBase._place_on_mesh(data, self.mesh, batched=True)
         epoch_fn = _jax.jit(trainer.epoch, static_argnames=("aligned",))
         upd_freq = getattr(cfg, "upd_freq", 1)
         if has_val:

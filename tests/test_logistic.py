@@ -180,3 +180,33 @@ def test_fused_then_partial_fit_continues_same_model():
     x_now = np.asarray(clf.x_)
     assert not np.allclose(x_now, x_after_fit)        # it moved
     assert np.linalg.norm(x_now - x_after_fit) < 1.0  # ...from the warm start
+
+
+def test_fused_logistic_on_mesh_matches_unsharded():
+    """StochasticLogisticRegression(engine='fused', mesh=...) must match
+    the unsharded fused fit (digits multinomial, (4 data x 2 param))."""
+    import jax
+    from sklearn.datasets import load_digits
+    from stochqn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    digits = load_digits()
+    X = digits.data[:1600] / 16.0
+    Y = np.eye(10)[digits.target[:1600]]
+
+    kw = dict(reg_param=1e-3, optimizer="SQN", use_grad_diff=True,
+              step_size=1.0, valset_frac=None, nepochs=12,
+              batches_per_epoch=16, random_state=1, dtype=np.float64,
+              engine="fused")
+    plain = StochasticLogisticRegression(**kw)
+    plain.fit(X, Y)
+    mesh = make_mesh(n_data=4, n_param=2)
+    sharded = StochasticLogisticRegression(mesh=mesh, **kw)
+    sharded.fit(X, Y)
+
+    np.testing.assert_allclose(np.asarray(sharded.x_), np.asarray(plain.x_),
+                               rtol=1e-8, atol=1e-10)
+    acc = (sharded.predict(X) == digits.target[:1600]).mean()
+    assert acc > 0.85
