@@ -444,13 +444,16 @@ class FusedTrainer:
     grad_fn: GradFn
     obj_fn: Optional[ObjFn] = None
     val_data: Optional[Batch] = None
-    # Unroll factor for the inner per-step ``lax.scan``s.  Each scan
-    # iteration is tiny (two streaming passes + a minibatch gradient), so
-    # the XLA while-loop's per-iteration overhead is a measurable slice of
-    # the step; unrolling amortizes it without changing semantics
-    # (lax.scan handles any factor; trajectories are identical).  1 = off:
-    # measured fastest at flagship scale — see BENCH_NOTES.md unroll sweep.
-    unroll: int = 1
+    # Unroll factor for the inner per-step ``lax.scan``s (semantics-
+    # preserving; lax.scan handles any factor).  ``None`` = auto:
+    # 8 for oLBFGS, 1 otherwise.  For SQN/adaQN every measured factor
+    # LOST 10-14% (BENCH_NOTES unroll sweep) — their inner scans carry no
+    # buffer mutations to amortize.  oLBFGS is different AFTER the
+    # round-5 shift-ring commit: an interleaved A/B measures unroll=8 at
+    # 0.86x the step time (7/7 pairs, 99.6 -> 83.6 us/step —
+    # ``benchmarks/olbfgs_unroll_ab.py``); pre-shift sessions showed
+    # losses, so the win is specific to the rewrite-style commit.
+    unroll: Optional[int] = None
     # oLBFGS only: fuse the two per-iteration gradient evaluations into one
     # vmapped call via software pipelining (see ``_olbfgs_epoch_paired``).
     # Trajectory-identical, but measured SLOWER on the flagship workload
@@ -526,6 +529,13 @@ class FusedTrainer:
         else:
             raise ValueError(f"unknown optimizer {kind!r}")
 
+    @property
+    def _unroll(self) -> int:
+        """Resolved inner-scan unroll factor (see the field comment)."""
+        if self.unroll is not None:
+            return self.unroll
+        return 8 if self.optimizer == "oLBFGS" else 1
+
     def init(self, x0):
         if self.optimizer == "oLBFGS":
             return olbfgs.init(jnp.asarray(x0), self.cfg)
@@ -561,12 +571,12 @@ class FusedTrainer:
             if self.paired_grads:
                 return _olbfgs_epoch_paired(self.cfg, self.grad_fn, state,
                                             data, step_size,
-                                            unroll=self.unroll)
+                                            unroll=self._unroll)
 
             def body(st, batch):
                 return olbfgs_step(self.cfg, self.grad_fn, st, batch,
                                    step_size)
-            return jax.lax.scan(body, state, data, unroll=self.unroll)
+            return jax.lax.scan(body, state, data, unroll=self._unroll)
 
         shapes_ok = (num_batches % L == 0 and num_batches >= L)
         if not shapes_ok or aligned is False:
@@ -605,7 +615,7 @@ class FusedTrainer:
                 return olbfgs_step(self.cfg, self.grad_fn, st2, batch,
                                    step_size)
             return jax.lax.scan(inner_o, state, round_data,
-                                unroll=self.unroll)
+                                unroll=self._unroll)
 
         L = jax.tree_util.tree_leaves(round_data)[0].shape[0]
 
@@ -627,7 +637,7 @@ class FusedTrainer:
                 return st2, bad
 
         st, bads = jax.lax.scan(inner, state, round_data,
-                                unroll=self.unroll)
+                                unroll=self._unroll)
         big = _flat(round_data)
         if self.optimizer == "SQN":
             st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
@@ -678,7 +688,7 @@ class FusedTrainer:
             return st, info
 
         return jax.lax.scan(body, state, jnp.arange(num_batches),
-                            unroll=self.unroll)
+                            unroll=self._unroll)
 
     def jit_epoch(self):
         """The cached jitted ``epoch``, with the state carry donated when
