@@ -77,3 +77,12 @@ def test_data_parallel_sqn():
     losses = [float(line.split("loss/row")[1].split()[0])
               for line in out.splitlines() if "loss/row" in line]
     assert len(losses) >= 2 and losses[-1] < losses[0], out
+
+
+def test_sharded_guided_fit_example():
+    out = _run("sharded_guided_fit.py",
+               extra_env={"XLA_FLAGS":
+                          "--xla_force_host_platform_device_count=8 "
+                          "--xla_cpu_max_isa=AVX2"})
+    assert "ONE device program" in out
+    assert out.strip().endswith("ok")

@@ -451,3 +451,24 @@ def test_fused_fit_on_mesh_loop_path_and_errors(rng):
                 nepochs=2, verbose=False)
     with pytest.raises(ValueError, match="must divide the parameter"):
         f_bad.fit(X, y, engine="fused", mesh=mesh3)
+
+
+@pytest.mark.parametrize("kind", ["oLBFGS", "adaQN"])
+def test_fused_fit_on_mesh_other_optimizers(rng, kind):
+    """Mesh-sharded guided fits for the per-iteration-commit (oLBFGS)
+    and Fisher/guard (adaQN) engines too."""
+    import jax
+    from stochqn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    X, y = _linreg(rng)
+    make = _makers()[kind]
+    x0 = np.zeros(X.shape[1])
+
+    f_plain = make(x0)
+    f_plain.fit(X, y, engine="fused")
+    f_mesh = make(x0)
+    f_mesh.fit(X, y, engine="fused", mesh=make_mesh(n_data=4, n_param=2))
+    np.testing.assert_allclose(f_mesh.x, f_plain.x, rtol=1e-8, atol=1e-10)
+    assert f_mesh.niter == f_plain.niter == 40
