@@ -57,6 +57,12 @@ from stochqn_tpu.ops.two_loop import two_loop_cached
 Batch = Any  # pytree of arrays with a leading example axis
 GradFn = Callable[[jax.Array, Batch], jax.Array]
 ObjFn = Callable[[jax.Array, Batch], jax.Array]
+# Optional analytic Hessian-vector product: ``hess_vec_fn(x, v, batch) -> [n]``
+# (the reference's user-supplied ``hess_vec_fun`` callback,
+# ``src/stochqn.c:1105-1111``).  When absent the engine uses
+# forward-over-reverse ``jax.jvp`` of ``grad_fn`` — always correct; an
+# analytic form can be cheaper (e.g. logistic: 2 matmuls vs jvp's ~4).
+HessVecFn = Callable[[jax.Array, jax.Array, Batch], jax.Array]
 
 _NO_PROB = jnp.int32(Info.NO_PROBLEMS_ENCOUNTERED)
 _NAN = jnp.int32(Info.SEARCH_DIRECTION_WAS_NAN)
@@ -225,7 +231,9 @@ def _sqn_base(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
 
 
 def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
-                  big: Batch, bad) -> Tuple[SQNState, jax.Array]:
+                  big: Batch, bad,
+                  hess_vec_fn: Optional[HessVecFn] = None
+                  ) -> Tuple[SQNState, jax.Array]:
     """The every-``upd_freq`` correction-pair work
     (``src/stochqn.c:1078-1141``).  ``big`` is the already-assembled big
     batch; must be called exactly when ``niter % upd_freq == 0``.
@@ -255,7 +263,11 @@ def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
             x_avg_prev=jnp.where(is_first | acc, x_avg, st.x_avg_prev),
             x_sum=jnp.zeros_like(st.x_sum))
     else:
-        hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,), (s_cand,))[1]
+        if hess_vec_fn is not None:
+            hv = hess_vec_fn(x_avg, s_cand, big)
+        else:
+            hv = jax.jvp(lambda xx: grad_fn(xx, big), (x_avg,),
+                         (s_cand,))[1]
         mem2, acc = commit_pair(mem_p, hv, cfg.min_curvature, y_reg=0.0,
                                 direction_cache=True,
                                 enabled=not_first)
@@ -267,7 +279,8 @@ def _sqn_boundary(cfg: SQNConfig, grad_fn: GradFn, state: SQNState,
 
 
 def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
-             big_batch_thunk: Callable[[], Batch], step_size
+             big_batch_thunk: Callable[[], Batch], step_size,
+             hess_vec_fn: Optional[HessVecFn] = None
              ) -> Tuple[SQNState, jax.Array]:
     """One SQN iteration with the boundary under ``lax.cond`` — the generic
     (alignment-free) path.  Prefer the round-chunked epoch layout."""
@@ -275,7 +288,8 @@ def sqn_step(cfg: SQNConfig, grad_fn: GradFn, state: SQNState, batch: Batch,
     state, bad = _sqn_base(cfg, grad_fn, state, batch, step_size)
     return jax.lax.cond(
         jnp.mod(state.niter, cfg.upd_freq) == 0,
-        lambda st: _sqn_boundary(cfg, grad_fn, st, big_batch_thunk(), bad),
+        lambda st: _sqn_boundary(cfg, grad_fn, st, big_batch_thunk(), bad,
+                                 hess_vec_fn),
         lambda st: (st, _info(bad)), state)
 
 
@@ -444,6 +458,14 @@ class FusedTrainer:
     grad_fn: GradFn
     obj_fn: Optional[ObjFn] = None
     val_data: Optional[Batch] = None
+    # Optional analytic Hessian-vector product ``hess_vec_fn(x, v, big)``
+    # used by SQN's boundary pair construction in place of the default
+    # forward-over-reverse ``jax.jvp`` of ``grad_fn`` — the fused-engine
+    # analogue of the reference's user-supplied ``hess_vec_fun`` callback
+    # (``src/stochqn.c:1105-1111``; the protocol engine already takes one
+    # via ``SQN(hess_vec_fun=...)``).  Ignored for oLBFGS/adaQN and when
+    # ``cfg.use_grad_diff``.
+    hess_vec_fn: Optional[HessVecFn] = None
     # Unroll factor for the inner per-step ``lax.scan``s (semantics-
     # preserving; lax.scan handles any factor).  ``None`` = auto:
     # 8 for oLBFGS, 1 otherwise.  For SQN/adaQN every measured factor
@@ -641,7 +663,7 @@ class FusedTrainer:
         big = _flat(round_data)
         if self.optimizer == "SQN":
             st, binfo = _sqn_boundary(self.cfg, self.grad_fn, st, big,
-                                      bads[-1])
+                                      bads[-1], self.hess_vec_fn)
         else:
             fval = self.val_data if self.val_data is not None else big
             st, binfo = _adaqn_boundary(self.cfg, self.grad_fn, self.obj_fn,
@@ -679,7 +701,7 @@ class FusedTrainer:
                                          num_batches)
             if self.optimizer == "SQN":
                 st, info = sqn_step(self.cfg, self.grad_fn, st, batch, big,
-                                    step_size)
+                                    step_size, self.hess_vec_fn)
             else:
                 fval = ((lambda: self.val_data)
                         if self.val_data is not None else big)

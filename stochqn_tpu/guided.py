@@ -293,9 +293,11 @@ class _GuidedBase:
         evaluated on the same rows but in a merged order, so trajectories
         match the protocol to float tolerance, not bitwise
         (docs/protocol.md).  For SQN without ``use_grad_diff`` the
-        Hessian-vector product comes from ``jax.jvp`` of ``grad_fun``
-        (``hess_vec_fun`` is not traced).  Accelerates the loop the
-        reference drives per-request (``stochqn/_optimizers.py:199-286``).
+        Hessian-vector product uses the user's ``hess_vec_fun`` when that
+        callable is JAX-traceable (same values the protocol loop computes),
+        and forward-over-reverse ``jax.jvp`` of ``grad_fun`` otherwise.
+        Accelerates the loop the reference drives per-request
+        (``stochqn/_optimizers.py:199-286``).
 
         When no per-epoch host control is needed (no ``callback_epoch``,
         no validation early stop), the fused engine runs the WHOLE fit as
@@ -428,7 +430,9 @@ class _GuidedBase:
     def _wrap_jax_funs(self, additional_kwargs):
         """The guided callables (``fn(x, X, y, sample_weight=..., **kw)``)
         as fused-engine ``fn(x, batch)`` functions; ``batch`` is
-        ``(X, y)`` or ``(X, y, w)``."""
+        ``(X, y)`` or ``(X, y, w)``.  Returns ``(grad_fn, obj_fn,
+        hess_vec_fn)``; the last is ``None`` when the user supplied no
+        ``hess_vec_fun``."""
         import jax.numpy as jnp
         kw = dict(additional_kwargs or {})
 
@@ -450,7 +454,15 @@ class _GuidedBase:
                 return jnp.asarray(
                     self.obj_fun(xv, Xb, yb, sample_weight=wb, **kw),
                     xv.dtype)
-        return grad_fn, obj_fn
+
+        hess_vec_fn = None
+        if self.hess_vec_fun is not None:
+            def hess_vec_fn(xv, v, batch):
+                Xb, yb, wb = unpack(batch)
+                hv = self.hess_vec_fun(xv, v, Xb, yb, sample_weight=wb,
+                                       **kw)
+                return jnp.asarray(hv, xv.dtype).reshape(-1)
+        return grad_fn, obj_fn, hess_vec_fn
 
     def _fused_needs_obj(self) -> bool:
         """Is ``obj_fun`` traced INTO the fused program (adaQN's
@@ -464,7 +476,7 @@ class _GuidedBase:
         when they are not JAX-traceable."""
         import jax
         import jax.numpy as jnp
-        grad_fn, obj_fn = self._wrap_jax_funs({})
+        grad_fn, obj_fn, _ = self._wrap_jax_funs({})
         bs = X.shape[0] // self.batches_per_epoch
 
         def spec(a):
@@ -515,7 +527,31 @@ class _GuidedBase:
         from stochqn_tpu.fused import FusedTrainer, batchify
 
         dtype = self.optimizer.dtype
-        grad_fn, obj_fn = self._wrap_jax_funs(additional_kwargs)
+        grad_fn, obj_fn, hess_vec_fn = self._wrap_jax_funs(
+            additional_kwargs)
+        if hess_vec_fn is not None:
+            # The user's hess_vec_fun is traced into the program only when
+            # it actually traces (the protocol loop never traces it, so a
+            # numpy-only callable must keep working here): probe with
+            # abstract values and fall back to ``jax.jvp`` of ``grad_fn``
+            # — the pre-round-5 behavior — on any failure.
+            bs = X.shape[0] // self.batches_per_epoch
+
+            def _spec(a):
+                arr = np.asarray(a)
+                return jax.ShapeDtypeStruct(
+                    (bs,) + arr.shape[1:], jnp.asarray(arr[:1]).dtype)
+            probe_batch = (_spec(X), _spec(y))
+            if w is not None:
+                probe_batch += (_spec(w),)
+            x_spec = jax.ShapeDtypeStruct((self.n,), dtype)
+            try:
+                out = jax.eval_shape(hess_vec_fn, x_spec, x_spec,
+                                     probe_batch)
+                if out.shape != (self.n,):
+                    hess_vec_fn = None
+            except Exception:   # noqa: BLE001 — any trace failure
+                hess_vec_fn = None
         val_data = None
         if X_val is not None and self._fused_needs_obj():
             # adaQN's in-program guard evaluates on the validation set
@@ -541,7 +577,8 @@ class _GuidedBase:
         trainer = FusedTrainer(
             self.optimizer_name, self.optimizer._cfg, grad_fn,
             obj_fn=obj_fn if self._fused_needs_obj() else None,
-            val_data=val_data, batch_constraint=batch_constraint)
+            val_data=val_data, batch_constraint=batch_constraint,
+            hess_vec_fn=hess_vec_fn)
 
         state = self.optimizer.state
         if mesh is not None:

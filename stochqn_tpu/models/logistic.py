@@ -359,9 +359,13 @@ class StochasticLogisticRegression:
                 loss_core = (lambda x, i, v, Y, w, r: sparse_losses
                              .sparse_multinomial_logistic_loss(
                                  x, i, v, Y, nf, w, r))
+                hess_core = (lambda x, hv, i, v, Y, w, r: sparse_losses
+                             .sparse_multinomial_logistic_hessvec(
+                                 x, hv, i, v, Y, nf, w, r))
             else:
                 grad_core = losses.multinomial_logistic_grad
                 loss_core = losses.multinomial_logistic_loss
+                hess_core = losses.multinomial_logistic_hessvec
         else:
             Yd = jnp.asarray(2.0 * (np.asarray(y) > 0) - 1.0, dtype)
             if is_sp:
@@ -371,9 +375,13 @@ class StochasticLogisticRegression:
                 loss_core = (lambda x, i, v, Y, w, r: sparse_losses
                              .sparse_binary_logistic_loss(
                                  x, i, v, Y, nf, w, r))
+                hess_core = (lambda x, hv, i, v, Y, w, r: sparse_losses
+                             .sparse_binary_logistic_hessvec(
+                                 x, hv, i, v, Y, nf, w, r))
             else:
                 grad_core = losses.binary_logistic_grad
                 loss_core = losses.binary_logistic_loss
+                hess_core = losses.binary_logistic_hessvec
         Wd = jnp.asarray(sample_weight, dtype)
         reg = self.reg_param
 
@@ -399,11 +407,19 @@ class StochasticLogisticRegression:
             *fb, Yb, wb = batch
             return loss_core(x, *fb, Yb, wb, reg)
 
+        def hess_vec_fn(x, v, batch):
+            # Closed-form Hessian-vector product — same closures the
+            # protocol engine gets via ``_build_funs`` (and the reference
+            # via its ``hess_vec_fun`` callback, ``src/stochqn.c:1105``):
+            # 3 big matmuls where the jvp-of-grad default costs ~4.
+            *fb, Yb, wb = batch
+            return hess_core(x, v, *fb, Yb, wb, reg)
+
         cfg_cls = {"oLBFGS": OLBFGSConfig, "SQN": SQNConfig,
                    "adaQN": AdaQNConfig}[self.optimizer_name]
         cfg = cfg_cls.create(**kw)
         trainer = FusedTrainer(self.optimizer_name, cfg, grad_fn,
-                               obj_fn=obj_fn)
+                               obj_fn=obj_fn, hess_vec_fn=hess_vec_fn)
         state = trainer.init(jnp.asarray(w0, dtype))
 
         batch_size = max(1, Yd.shape[0] // int(batches_per_epoch))

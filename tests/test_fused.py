@@ -658,3 +658,46 @@ def test_unrolled_rounds_trajectory_identical(rng):
                                    err_msg=optimizer)
         assert np.array_equal(np.asarray(info_u), np.asarray(info_s))
         assert int(st_u.niter) == int(st_s.niter) == B
+
+
+@pytest.mark.parametrize("B", [12, 10])   # 10: non-divisible -> generic path
+def test_fused_sqn_hess_vec_fn_matches_jvp(rng, B):
+    """``FusedTrainer(hess_vec_fn=...)`` — the fused analogue of the
+    reference's user ``hess_vec_fun`` callback (``src/stochqn.c:1105``) —
+    must reproduce the default jvp trajectory when the callable computes
+    the same Hessian-vector product.  For a quadratic both are exactly
+    ``A @ v``, so the trajectories agree to float-order noise; covered on
+    both the round-chunked (B=12) and generic lax.cond (B=10) layouts."""
+    import dataclasses
+    n, bs, L = 8, 2, 4
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, obj_fn = _make_funs(a)
+
+    def hess_vec_fn(x, v, big):
+        return a @ v
+
+    cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    tr_jvp = FusedTrainer("SQN", cfg, grad_fn)
+    tr_hv = dataclasses.replace(tr_jvp, hess_vec_fn=hess_vec_fn)
+    x_jvp = _fused_run(tr_jvp, jnp.asarray(centers), NEPOCHS, 0.05)
+    x_hv = _fused_run(tr_hv, jnp.asarray(centers), NEPOCHS, 0.05)
+    np.testing.assert_allclose(x_hv, x_jvp, rtol=1e-6, atol=1e-9)
+
+
+def test_fused_sqn_hess_vec_fn_is_used(rng):
+    """The supplied ``hess_vec_fn`` is really what builds the y vectors:
+    a deliberately WRONG callable must change the trajectory."""
+    import dataclasses
+    n, B, bs, L = 8, 12, 2, 4
+    a = _quad_problem(rng, n)
+    centers = rng.standard_normal((B, bs, n))
+    grad_fn, _ = _make_funs(a)
+
+    cfg = SQNConfig.create(mem_size=3, bfgs_upd_freq=L)
+    tr_jvp = FusedTrainer("SQN", cfg, grad_fn)
+    tr_wrong = dataclasses.replace(
+        tr_jvp, hess_vec_fn=lambda x, v, big: 2.0 * (a @ v))
+    x_jvp = _fused_run(tr_jvp, jnp.asarray(centers), NEPOCHS, 0.05)
+    x_wrong = _fused_run(tr_wrong, jnp.asarray(centers), NEPOCHS, 0.05)
+    assert not np.allclose(x_wrong, x_jvp, rtol=1e-6, atol=1e-9)

@@ -472,3 +472,60 @@ def test_fused_fit_on_mesh_other_optimizers(rng, kind):
     f_mesh.fit(X, y, engine="fused", mesh=make_mesh(n_data=4, n_param=2))
     np.testing.assert_allclose(f_mesh.x, f_plain.x, rtol=1e-8, atol=1e-10)
     assert f_mesh.niter == f_plain.niter == 40
+
+
+def test_fused_traces_user_hess_vec_fun(rng):
+    """The fused engine must drive SQN's pair construction through the
+    USER's ``hess_vec_fun`` (as the protocol loop and the reference do,
+    ``src/stochqn.c:1105-1111``) — not through jvp of ``grad_fun`` — when
+    the callable traces.  Detectable with a hess_vec_fun that is NOT the
+    true Hessian (a scaled Gauss-Newton product): protocol and fused must
+    then still agree, which only happens if both evaluate the same
+    callable."""
+    X, y = _linreg(rng)
+    obj, grad, _ = _lsq_funs()
+
+    def scaled_hessvec(w, v, Xb, yb, sample_weight=None, **kw):
+        return 1.7 * (Xb.T @ (Xb @ v)) / Xb.shape[0]
+
+    kw = dict(obj_fun=obj, hess_vec_fun=scaled_hessvec, step_size=0.1,
+              batches_per_epoch=10, bfgs_upd_freq=5, nepochs=4,
+              verbose=False)
+    p = SQN(np.zeros(X.shape[1]), grad, **kw)
+    p.fit(X, y, engine="protocol")
+    f = SQN(np.zeros(X.shape[1]), grad, **kw)
+    f.fit(X, y, engine="fused")
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
+    # and the scaling really alters the trajectory (the probe has teeth)
+    _, _, hessvec = _lsq_funs()
+    g = SQN(np.zeros(X.shape[1]), grad,
+            **{**kw, "hess_vec_fun": hessvec})
+    g.fit(X, y, engine="fused")
+    assert not np.allclose(g.x, f.x, rtol=1e-8, atol=1e-10)
+
+
+def test_nontraceable_hess_vec_fun_falls_back_to_jvp(rng):
+    """A numpy-only ``hess_vec_fun`` must not break the fused engine: the
+    engine silently substitutes jvp-of-grad (the protocol loop still gets
+    the user callable) and the fit completes as a fused dispatch with the
+    exact jvp trajectory."""
+    X, y = _linreg(rng)
+    obj, grad, hessvec = _lsq_funs()
+
+    def numpy_only_hessvec(w, v, Xb, yb, sample_weight=None, **kw):
+        v = np.asarray(v)            # forces a concrete array: untraceable
+        return Xb.T @ (Xb @ v) / Xb.shape[0]
+
+    kw = dict(obj_fun=obj, step_size=0.1, batches_per_epoch=10,
+              bfgs_upd_freq=5, nepochs=4, verbose=False)
+    f = SQN(np.zeros(X.shape[1]), grad, hess_vec_fun=numpy_only_hessvec,
+            **kw)
+    f.fit(X, y, engine="fused")          # must not raise or warn
+    assert f._fused_single_dispatch      # stayed on the fused engine
+    # for least squares jvp-of-grad == the user's X^T X v / B product, so
+    # the jvp-fallback trajectory matches the protocol run (which always
+    # calls the numpy callable) to float order
+    p = SQN(np.zeros(X.shape[1]), grad, hess_vec_fun=numpy_only_hessvec,
+            **kw)
+    p.fit(X, y, engine="protocol")
+    np.testing.assert_allclose(f.x, p.x, rtol=1e-8, atol=1e-10)
