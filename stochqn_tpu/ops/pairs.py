@@ -238,18 +238,27 @@ def _small_cache(gram: jax.Array, head: jax.Array, count: jax.Array,
     eye = jnp.eye(m, dtype=acc_t)
     ru = jnp.triu(rho[:, None] * sy, k=1)
     rl = jnp.tril(rho[:, None] * sy.T, k=-1)
-    # (I + N)^{-1} for strictly-triangular (nilpotent) N via Horner-Neumann:
-    # X <- I - N X, exact after m-1 steps.  Unrolled small matmuls beat
-    # XLA's sequential triangular-solve loop inside a scan (op count).
-    # Both systems ride ONE batched chain: sequential op count is what
-    # commits cost (oLBFGS commits every iteration), and a [2, m, m]
-    # matmul is the same latency as an [m, m] one.
+    # (I + N)^{-1} for strictly-triangular (nilpotent, N^m = 0) N via the
+    # log-depth Neumann factorization (I - N)(I + N^2)(I + N^4)... —
+    # exact once the exponents cover m, like the m-1-step Horner chain
+    # (X <- I - N X) but with a critical path of ~2*ceil(log2 m) - 1
+    # dependent matmuls instead of m-1 (the squarings overlap the product
+    # chain).  Sequential op count is what commits cost (oLBFGS commits
+    # every iteration); unrolled small matmuls beat XLA's sequential
+    # triangular-solve loop inside a scan either way, and both systems
+    # ride ONE batched [2, m, m] chain (same latency as [m, m]).
     n_stack = jnp.stack([ru, rl])                       # [2, m, m]
-    inv = jnp.broadcast_to(eye, (2, m, m))
-    for _ in range(m - 1):
-        inv = eye - jnp.matmul(n_stack, inv,
-                               preferred_element_type=acc_t,
-                               precision=PRECISION)
+
+    def mm2(x, y):
+        return jnp.matmul(x, y, preferred_element_type=acc_t,
+                          precision=PRECISION)
+
+    inv = eye - n_stack
+    sq, k = n_stack, 2
+    while k < m:
+        sq = mm2(sq, sq)
+        inv = mm2(inv, eye + sq)
+        k *= 2
     bwd_inv, fwd_inv = inv[0], inv[1]
 
     has_pairs = count > 0
