@@ -234,3 +234,40 @@ def test_collapsed_direction_matches_classic(rng):
         d_flush = two_loop_cached(g, flushed, collapsed=True)
         np.testing.assert_allclose(np.asarray(d_flush), np.asarray(g),
                                    rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("m", [1, 2, 3, 5, 10, 16, 17])
+def test_log_depth_neumann_inverts_triangular_systems(rng, m):
+    """`ops/pairs._small_cache`'s (I + N)^{-1} pair now uses the
+    log-depth factorization (I - N)(I + N^2)(I + N^4)... — exact for
+    nilpotent strictly-triangular N whenever the exponent sweep covers
+    m.  Lock it against a dense inverse at every memory-size shape,
+    including the degenerate m=1/2 (empty product loop) and the first
+    sizes past each power of two."""
+    import jax
+    from stochqn_tpu.ops import pairs as pairs_mod
+
+    gram = np.zeros((2 * m, 2 * m))
+    # realistic curvature-positive blocks so rho is finite
+    spairs = _random_pairs(rng, max(2 * m, 8), m)
+    s_rows = np.stack([s for s, _ in spairs])
+    y_rows = np.stack([y for _, y in spairs])
+    w = np.concatenate([s_rows, y_rows], axis=0)
+    gram = w @ w.T
+
+    out = pairs_mod._small_cache(jnp.asarray(gram), jnp.int32(0),
+                                 jnp.int32(m), m)
+    perm = np.asarray(out["perm"])
+    rho = np.asarray(out["rho"])
+    sy = gram[:m, m:][perm][:, perm]
+    ru = np.triu(rho[:, None] * sy, k=1)
+    rl = np.tril(rho[:, None] * sy.T, k=-1)
+    eye = np.eye(m)
+    # f64 accumulation noise grows with the chain length (m=17 shows
+    # ~1e-8 absolute on near-zero entries); the check is absolute-scale
+    np.testing.assert_allclose(np.asarray(out["bwd_inv"]),
+                               np.linalg.inv(eye + ru),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["fwd_inv"]),
+                               np.linalg.inv(eye + rl),
+                               rtol=1e-7, atol=1e-7)
