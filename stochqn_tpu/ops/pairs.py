@@ -27,6 +27,18 @@ from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm, _mem_mm
 # (gram_int[0::2, 1::2] is the s.y block, etc.), never a gather.
 
 
+def _gram_cols(buf, row_s, row_y, acc_t):
+    """The incremental-Gram pass ``buf @ [row_s; row_y]^T`` as TWO
+    ``[.., n] @ [n]`` matvecs stacked small, NOT one ``[n, 2]`` matmul.
+    A 2-column RHS/output gets the T(2,128) minor-dim tile (2/8
+    sublanes) and the pass over the pair buffer runs at ~1/4 bandwidth —
+    measured 0.975x whole-step time at the flagship shape (5/5
+    interleaved pairs, ~27 us/boundary; ``benchmarks/gram_pass_ab.py``),
+    the same hardware lesson as the rejected [m, 2, n] pair layout."""
+    return jnp.stack([_mem_mm(buf, row_s, acc_t),
+                      _mem_mm(buf, row_y, acc_t)], axis=1)
+
+
 def direction_is_bad(direction: jax.Array) -> jax.Array:
     """Reference guard: non-finite direction, or ``||d||_2 > 1e3 * n``
     (``src/stochqn.c:827-829``).
@@ -112,8 +124,7 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
         row_y = jnp.where(accepted, y_cand.astype(st_t), cur[1])
         new_sy = jax.lax.dynamic_update_slice_in_dim(
             mem.sy, jnp.stack([row_s, row_y]), 2 * mem.head, axis=0)
-        p = _mem_mm(new_sy, jnp.stack([row_s, row_y], axis=1),
-                    gram_t)                                    # [2m, 2]
+        p = _gram_cols(new_sy, row_s, row_y, gram_t)           # [2m, 2]
         zero = jnp.zeros((), mem.head.dtype)
         gram = jax.lax.dynamic_update_slice(
             mem.gram, p.astype(gram_t), (zero, 2 * mem.head))
@@ -136,7 +147,7 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
         slab = jnp.stack([s.astype(st_t), y_cand.astype(st_t)])
         shifted = jnp.concatenate([slab, mem.sy[:-2]], axis=0)
         new_sy = jnp.where(accepted, shifted, mem.sy)
-        p = _mem_mm(new_sy, slab.T, gram_t)                    # [2m, 2]
+        p = _gram_cols(new_sy, slab[0], slab[1], gram_t)       # [2m, 2]
         # Gram shifts with the rows: old block moves down-right by 2, the
         # new pair's row/column come from one pass over the new buffer.
         # All O(m^2) — the [2m, n] traffic above is what matters.
@@ -159,12 +170,11 @@ def commit_pair(mem: BFGSMemory, y_cand: jax.Array, min_curvature: float,
         new_y = jax.lax.dynamic_update_index_in_dim(mem.y, row_y, mem.head,
                                                     axis=0)
 
-        # Incremental Gram update: one [2m, n] @ [n, 2] pass refreshes the
+        # Incremental Gram update: one pass over [2m, n] refreshes the
         # row and column of W W^T touched by the written pair.  On reject
         # this recomputes the existing entries bit-identically.
         w_new = jnp.concatenate([new_s, new_y], axis=0)          # [2m, n]
-        p = _mem_mm(w_new, jnp.stack([row_s, row_y], axis=1),
-                    gram_t)                                      # [2m, 2]
+        p = _gram_cols(w_new, row_s, row_y, gram_t)              # [2m, 2]
         gram = mem.gram
         gram = jax.lax.dynamic_update_index_in_dim(
             gram, p[:, 0].astype(gram_t), mem.head, axis=1)
