@@ -30,11 +30,20 @@ from stochqn_tpu.ops.two_loop import PRECISION, _chrono_perm, _mem_mm
 def _gram_cols(buf, row_s, row_y, acc_t):
     """The incremental-Gram pass ``buf @ [row_s; row_y]^T`` as TWO
     ``[.., n] @ [n]`` matvecs stacked small, NOT one ``[n, 2]`` matmul.
+
     A 2-column RHS/output gets the T(2,128) minor-dim tile (2/8
-    sublanes) and the pass over the pair buffer runs at ~1/4 bandwidth —
-    measured 0.975x whole-step time at the flagship shape (5/5
-    interleaved pairs, ~27 us/boundary; ``benchmarks/gram_pass_ab.py``),
-    the same hardware lesson as the rejected [m, 2, n] pair layout."""
+    sublanes) and the single pass over the pair buffer runs at ~1/4
+    bandwidth — the same hardware lesson as the rejected ``[m, 2, n]``
+    pair layout.  Measured by single-process interleaved A/Bs (the only
+    instrument that resolves this against session drift): flagship SQN
+    0.975x whole-step time (5/5 pairs, ~27 us/boundary;
+    ``benchmarks/gram_pass_ab.py``); production oLBFGS **0.896x** for
+    bf16+interleaved (5/5 pairs, 113.4 -> 101.6 us/step;
+    ``benchmarks/olbfgs_gram_ab.py``) — and two independent sweeps
+    corroborate +9%/+59% for f32 block/shift.  A sequential sweep pair
+    initially suggested a bf16 regression; the interleaved A/B shows
+    that was inter-session variance (the cell swings 8.9-10.4k
+    iters/s across sessions)."""
     return jnp.stack([_mem_mm(buf, row_s, acc_t),
                       _mem_mm(buf, row_y, acc_t)], axis=1)
 
