@@ -141,6 +141,14 @@ def build():
         return losses.multinomial_logistic_grad(x, Xb, Yb, None, REG)
 
     trainer = FusedTrainer(
+        # Layout note: at final round-5 HEAD the interleaved shift layout
+        # measures 1.037x over block in the per-epoch-dispatch A/B
+        # (benchmarks/sqn_interleaved_ab.py — the round-4 0.963x verdict
+        # flipped once the shift commit + gram-pass split landed), but the
+        # edge VANISHES under this bench's donated 20-epoch single-dispatch
+        # program (19,139 spread-6% vs block 19,091 spread-1.2%: donation
+        # already aliases the block boundary writes).  Block stays — it is
+        # the bitwise-stable default.
         "SQN", SQNConfig.create(mem_size=MEM_SIZE, bfgs_upd_freq=UPD_FREQ),
         grad_fn, donate=True)
     return trainer, trainer.init(x0), (X, Y)
