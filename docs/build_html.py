@@ -31,6 +31,7 @@ PAGES = [
     ("design.md", "Architecture & design"),
     ("protocol.md", "Protocol & reference quirks"),
     ("api.md", "API guide"),
+    ("perf_guide.md", "Performance tuning"),
     ("migration.md", "Migrating from stochQN"),
     ("r_bindings.md", "R bindings"),
     ("api_reference.md", "API reference (generated)"),
