@@ -238,20 +238,44 @@ class FisherMemory:
     Mirrors ``fisher_mem`` (``include/stochqn.h:101-107``).  Rows are only
     ever consumed through the symmetric product ``F^T (F s) / count`` so
     chronological order is irrelevant; only occupancy matters.
+
+    ``shift`` (static, auto-decided at :meth:`create`): for SMALL buffers
+    the per-step append is a shift rewrite (``[g; f[:-1]]``, newest row
+    first) instead of a dynamic-update-slice into the ring slot — the
+    same economics as the oLBFGS shift pair buffer: a DUS into a
+    ``lax.scan`` carry costs a near-constant mutated-carry price (~23
+    us/step at the flagship shape) while the rewrite pays bytes, so the
+    rewrite wins exactly when ``2 * fs * n * itemsize`` is cheap.
+    Measured (interleaved A/B, ``benchmarks/fisher_append_ab.py``):
+    fisher_size=4 **0.890x** whole-step time (5/5 pairs, 100.6 -> 89.5
+    us); fisher_size=100 6.4x WORSE — hence the
+    :data:`FISHER_SHIFT_MAX_BYTES` bound (the reference default fs=100
+    stays on the DUS ring).  Occupancy semantics are identical (valid
+    rows are always ``[0, count)`` while filling, everything once full);
+    only the storage order differs, which ``F^T (F s)`` sums over — a
+    float reduction-order delta of the same class the engines already
+    carry.
     """
 
     f: jax.Array      # [fisher_size, n]
     head: jax.Array   # int32
     count: jax.Array  # int32
+    # static append mode: True = shift rewrite (small buffers), False =
+    # DUS ring — see the class docstring
+    shift: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, fisher_size: int, n: int, dtype=jnp.float32,
-               storage_dtype=None) -> "FisherMemory":
+               storage_dtype=None, shift=None) -> "FisherMemory":
+        f = jnp.zeros((fisher_size, n),
+                      dtype=dtype if storage_dtype is None else storage_dtype)
+        if shift is None:
+            shift = f.size * f.dtype.itemsize <= FISHER_SHIFT_MAX_BYTES
         return cls(
-            f=jnp.zeros((fisher_size, n),
-                        dtype=dtype if storage_dtype is None else storage_dtype),
+            f=f,
             head=jnp.zeros((), dtype=jnp.int32),
             count=jnp.zeros((), dtype=jnp.int32),
+            shift=bool(shift),
         )
 
     def flush(self) -> "FisherMemory":
@@ -261,17 +285,22 @@ class FisherMemory:
     def append(self, grad: jax.Array) -> "FisherMemory":
         """``add_to_fisher_mem`` (``src/stochqn.c:581-587``)."""
         size = self.f.shape[0]
-        f = jax.lax.dynamic_update_index_in_dim(
-            self.f, grad.astype(self.f.dtype), self.head, axis=0)
+        if self.shift:
+            f = jnp.concatenate(
+                [grad.astype(self.f.dtype)[None], self.f[:-1]], axis=0)
+        else:
+            f = jax.lax.dynamic_update_index_in_dim(
+                self.f, grad.astype(self.f.dtype), self.head, axis=0)
         return self.replace(
             f=f,
-            head=(self.head + 1) % size,
+            head=(self.head + 1) % size,   # kept for API symmetry in shift
             count=jnp.minimum(self.count + 1, size),
         )
 
     def append_block(self, grads: jax.Array) -> "FisherMemory":
         """Append ``grads [k, n]`` in order — identical to ``k`` successive
-        :meth:`append` calls, as one scatter.
+        :meth:`append` calls, as one scatter (or one shifted rebuild in
+        shift mode).
 
         Block-ingestion API (e.g. replaying recorded gradients into a
         resumed state).  The fused engine deliberately does NOT use it:
@@ -282,13 +311,26 @@ class FisherMemory:
         k = grads.shape[0]
         keep = min(k, size)          # only the last `size` rows can survive
         rows = grads[k - keep:].astype(self.f.dtype)
-        slots = jnp.mod(self.head + (k - keep)
-                        + jnp.arange(keep, dtype=jnp.int32), size)
+        if self.shift:
+            # k successive shift-appends leave the last `keep` grads
+            # newest-first at the top, the old rows shifted down
+            f = jnp.concatenate([rows[::-1], self.f[:size - keep]], axis=0)
+        else:
+            slots = jnp.mod(self.head + (k - keep)
+                            + jnp.arange(keep, dtype=jnp.int32), size)
+            f = self.f.at[slots].set(rows)
         return self.replace(
-            f=self.f.at[slots].set(rows),
+            f=f,
             head=jnp.mod(self.head + k, size).astype(jnp.int32),
             count=jnp.minimum(self.count + k, size).astype(jnp.int32),
         )
+
+
+# Above this Fisher-buffer size the per-step append stays a DUS ring
+# write: the shift rewrite pays 2 x buffer bytes per step, which loses
+# past ~8 MB (break-even vs the ~23 us mutated-carry DUS price at
+# 819 GB/s; fs=100 at flagship n measured 6.4x WORSE shifted).
+FISHER_SHIFT_MAX_BYTES = 8 * 1024 ** 2
 
 
 @struct.dataclass

@@ -306,3 +306,44 @@ def test_fisher_append_block_matches_successive_appends(rng):
         np.testing.assert_array_equal(np.asarray(seq.f), np.asarray(blk.f))
         assert int(seq.head) == int(blk.head)
         assert int(seq.count) == int(blk.count)
+
+
+def test_fisher_shift_and_dus_modes_agree(rng):
+    """The static `shift` append mode (auto for small buffers) and the
+    DUS ring mode hold the same multiset of rows at every step — only
+    storage order differs — so `fisher_y` products agree to reduction
+    order, and `append_block` == successive appends holds in BOTH modes
+    (the auto default would otherwise leave the DUS branch untested at
+    unit scale)."""
+    import jax.numpy as jnp
+    from stochqn_tpu.core.state import FisherMemory
+    from stochqn_tpu.ops.pairs import fisher_y
+
+    n, size = 7, 4
+    s = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    for mode_kw in (dict(shift=True), dict(shift=False)):
+        seq = blk = FisherMemory.create(size, n, jnp.float32, **mode_kw)
+        assert seq.shift is mode_kw["shift"]
+        grads = jnp.asarray(rng.standard_normal((6, n)), jnp.float32)
+        for g in grads:
+            seq = seq.append(g)
+        blk = blk.append_block(grads)
+        np.testing.assert_array_equal(np.asarray(seq.f), np.asarray(blk.f))
+        assert int(seq.head) == int(blk.head)
+        assert int(seq.count) == int(blk.count)
+
+    sh = FisherMemory.create(size, n, jnp.float32, shift=True)
+    du = FisherMemory.create(size, n, jnp.float32, shift=False)
+    for i in range(7):   # cross partial fill AND wrap-around
+        g = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        sh, du = sh.append(g), du.append(g)
+        rows_sh = np.sort(np.asarray(sh.f), axis=0)
+        rows_du = np.sort(np.asarray(du.f), axis=0)
+        if i >= size - 1:      # identical multiset once both are full
+            np.testing.assert_array_equal(rows_sh, rows_du)
+        np.testing.assert_allclose(np.asarray(fisher_y(sh, s)),
+                                   np.asarray(fisher_y(du, s)),
+                                   rtol=1e-5, atol=1e-7)
+    # auto threshold: tiny -> shift, huge -> DUS ring
+    assert FisherMemory.create(4, 100, jnp.float32).shift is True
+    assert FisherMemory.create(100, 3_000_000, jnp.float32).shift is False
